@@ -1,0 +1,302 @@
+"""The implicit flow block: ``z`` defined by the root of
+``F(x, z) = (x + g_x(x)) - (z + g_z(z)) = 0``.
+
+TPU-native counterpart of ``imBlock``
+(``/root/reference/lib/layers/implicit_block.py:103-355``). The reference
+implements the implicit gradient with autograd.Function graph surgery and a
+frozen *copy* of each net's weights (``nnet_x_copy``/``nnet_z_copy``,
+``implicit_block.py:136-141,228-230``); with pure params the snapshot is
+implicit, and the whole mechanism reduces to one ``jax.custom_vjp``:
+
+* **primal** — Broyden-solve for ``z_hat`` (no gradient), then return the
+  reference's explicit re-attachment value
+  ``z = x + g_x(x) - g_z(z_hat)`` (``implicit_block.py:227``);
+* **bwd** — given cotangent ``grad``:
+  1. Broyden-solve ``u (I + J_gz(z)) = grad`` (``Backward.backward``,
+     ``implicit_block.py:196-206``) at the re-attached ``z``;
+  2. one VJP of ``(px, pz, xx) -> xx + g_x(xx; px) - g_z(z_hat; pz)`` with
+     cotangent ``u`` delivers, in a single pass, the reference's three grad
+     paths: ``dL/dx = u (I + J_gx)`` (``:210-213``), ``dL/d theta_x`` and
+     ``dL/d theta_z`` through the re-attachment (``:227``).
+
+Forward, inverse (sampling) and backward all reuse the same Broyden kernel
+with different (net roles, eps, init) — the key symmetry of the reference
+(SURVEY.md §3.2).
+
+The log-det term ``logdet|dz/dx| = logdet(I + J_gx)(x) - logdet(I + J_gz)(z)``
+is estimated by the shared estimator family in ``ops.logdet``
+(``_logdetgrad``, ``implicit_block.py:245-350``); gradients through ``z``
+route through the custom VJP automatically. ``grad_in_forward`` maps to
+``jax.checkpoint`` (rematerialisation) rather than the reference's
+backprop-in-forward ``MemoryEfficientLogDetEstimator`` (``:373-415``) — same
+memory/compute trade, expressed to the XLA scheduler.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import logdet as ld
+from ..ops.broyden import broyden as broyden_solve
+from ..ops.broyden import root_solve
+from .protocol import Flow, make_vars
+
+__all__ = ["ImplicitBlock", "SolverConfig"]
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Solver budgets (reference defaults: implicit_block.py:120-123)."""
+
+    eps_forward: float = 1e-6
+    eps_backward: float = 1e-10
+    eps_sample: float = 1e-5
+    threshold: int = 30
+    banach_threshold: int = 1000
+
+
+def _sg(tree):
+    return jax.tree.map(jax.lax.stop_gradient, tree)
+
+
+def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
+    """Build the custom-VJP solve for one block (closures are created once per
+    block so jit caches stay stable)."""
+
+    def solve_z(vars_x, vars_z, x):
+        B = x.shape[0]
+        flat = lambda a: a.reshape(B, -1)
+        unflat = lambda a: a.reshape(x.shape)
+        vx, vz = _sg(vars_x), _sg(vars_z)
+        x_embed = flat(apply_x(vx, x)) + flat(x)
+        g = lambda zf: x_embed - flat(apply_z(vz, unflat(zf))) - zf
+        banach_g = lambda zf: x_embed - flat(apply_z(vz, unflat(zf)))
+        zf, _ = root_solve(
+            g, banach_g, jnp.zeros_like(flat(x)),
+            threshold=cfg.threshold, eps=cfg.eps_forward,
+            banach_x0=flat(jax.lax.stop_gradient(x)),
+            banach_threshold=cfg.banach_threshold,
+        )
+        return unflat(zf)
+
+    @jax.custom_vjp
+    def implicit_forward(vars_x, vars_z, x):
+        z_hat = jax.lax.stop_gradient(solve_z(vars_x, vars_z, x))
+        # Re-attachment (implicit_block.py:227). Primal value == z_hat up to
+        # solver tolerance; under custom_vjp this expression is not itself
+        # differentiated — bwd below reproduces its exact gradient paths.
+        return x + apply_x(vars_x, x) - apply_z(vars_z, z_hat)
+
+    def fwd(vars_x, vars_z, x):
+        z_hat = jax.lax.stop_gradient(solve_z(vars_x, vars_z, x))
+        z = x + apply_x(_sg(vars_x), x) - apply_z(_sg(vars_z), z_hat)
+        return z, (vars_x, vars_z, x, z_hat, z)
+
+    def bwd(res, grad):
+        vars_x, vars_z, x, z_hat, z = res
+        B = x.shape[0]
+        flat = lambda a: a.reshape(B, -1)
+        unflat = lambda a: a.reshape(x.shape)
+        vz_sg = _sg(vars_z)
+
+        # Solve u (I + J_gz) = grad at the re-attached z (Backward.backward,
+        # implicit_block.py:196-206) with the backward tolerance budget.
+        Fz = lambda zz: apply_z(vz_sg, zz) + zz
+        _, vjp_z = jax.vjp(Fz, jax.lax.stop_gradient(z))
+        gfun = lambda uf: flat(vjp_z(unflat(uf))[0]) - flat(grad)
+        ures = broyden_solve(
+            gfun, jnp.zeros_like(flat(grad)),
+            threshold=cfg.threshold, eps=cfg.eps_backward,
+        )
+        u = unflat(ures.result)
+
+        # One VJP through the re-attachment delivers d_params_x, d_params_z,
+        # and dL/dx = u (I + J_gx) (implicit_block.py:210-213,227).
+        def reattach(vx, vz, xx):
+            return xx + apply_x(vx, xx) - apply_z(vz, z_hat)
+
+        _, vjp_re = jax.vjp(reattach, vars_x, vars_z, x)
+        d_vx, d_vz, d_x = vjp_re(u)
+        return d_vx, d_vz, d_x
+
+    implicit_forward.defvjp(fwd, bwd)
+    return implicit_forward
+
+
+class ImplicitBlock(Flow):
+    """Invertible implicit residual block (reference ``imBlock``)."""
+
+    def __init__(
+        self,
+        nnet_x,
+        nnet_z,
+        geom_p=0.5,
+        lamb=2.0,
+        n_power_series=None,
+        exact_trace=False,
+        brute_force=False,
+        n_samples=1,
+        n_exact_terms=2,
+        n_exact_terms_test=20,
+        n_dist="geometric",
+        neumann_grad=True,
+        grad_in_forward=True,
+        eps_forward=1e-6,
+        eps_backward=1e-10,
+        eps_sample=1e-5,
+        threshold=30,
+        series_cap=24,
+    ):
+        self.nnet_x = nnet_x
+        self.nnet_z = nnet_z
+        self.geom_p_init = geom_p
+        self.lamb_init = lamb
+        self.logdet_cfg = ld.LogdetConfig(
+            n_dist=n_dist,
+            n_samples=n_samples,
+            n_power_series=n_power_series,
+            n_exact_terms=n_exact_terms,
+            n_exact_terms_test=n_exact_terms_test,
+            neumann_grad=neumann_grad,
+            grad_in_forward=grad_in_forward,
+            exact_trace=exact_trace,
+            brute_force=brute_force,
+            series_cap=series_cap,
+        )
+        self.solver_cfg = SolverConfig(
+            eps_forward=eps_forward,
+            eps_backward=eps_backward,
+            eps_sample=eps_sample,
+            threshold=threshold,
+        )
+        self._implicit_forward = _make_implicit_forward(
+            self.nnet_x.apply, self.nnet_z.apply, self.solver_cfg
+        )
+
+    # ---- variables ----
+    def init(self, rng, x):
+        kx, kz = jax.random.split(rng)
+        vx = self.nnet_x.init(kx, x)
+        vz = self.nnet_z.init(kz, x)
+        p = self.geom_p_init
+        params = {
+            "nnet_x": vx["params"],
+            "nnet_z": vz["params"],
+            # stored in logit space like the reference (implicit_block.py:144)
+            "geom_p": jnp.asarray(jnp.log(p) - jnp.log1p(-p), jnp.float32),
+            "lamb": jnp.asarray(self.lamb_init, jnp.float32),
+        }
+        state = {
+            "nnet_x": vx["state"],
+            "nnet_z": vz["state"],
+            "last_n_samples": jnp.zeros((self.logdet_cfg.n_samples,), jnp.float32),
+            "last_firmom": jnp.zeros((1,), jnp.float32),
+            "last_secmom": jnp.zeros((1,), jnp.float32),
+        }
+        return make_vars(params, state)
+
+    def _net_vars(self, variables, name):
+        return {"params": variables["params"][name], "state": variables["state"][name]}
+
+    # ---- flow protocol ----
+    def forward(self, variables, x, logpx=None, *, rng=None, train=False):
+        vx = self._net_vars(variables, "nnet_x")
+        vz = self._net_vars(variables, "nnet_z")
+        z = self._implicit_forward(vx, vz, x)
+        if logpx is None:
+            return z, None, variables["state"]
+        logdet, new_state = self._logdetgrad(variables, z, x, rng, train)
+        return z, logpx - logdet, new_state
+
+    def inverse(self, variables, z, logpz=None, *, rng=None):
+        """Solve x s.t. x + g_x(x) = z + g_z(z) — roles swapped, same solver
+        with the sampling tolerance (implicit_block.py:236-243)."""
+        vx = _sg(self._net_vars(variables, "nnet_x"))
+        vz = _sg(self._net_vars(variables, "nnet_z"))
+        z = jax.lax.stop_gradient(z)
+        B = z.shape[0]
+        flat = lambda a: a.reshape(B, -1)
+        unflat = lambda a: a.reshape(z.shape)
+        z_embed = flat(self.nnet_z.apply(vz, z)) + flat(z)
+        g = lambda xf: z_embed - flat(self.nnet_x.apply(vx, unflat(xf))) - xf
+        banach_g = lambda xf: z_embed - flat(self.nnet_x.apply(vx, unflat(xf)))
+        xf, _ = root_solve(
+            g, banach_g, jnp.zeros_like(flat(z)),
+            threshold=self.solver_cfg.threshold, eps=self.solver_cfg.eps_sample,
+            banach_x0=flat(z), banach_threshold=self.solver_cfg.banach_threshold,
+        )
+        x = unflat(xf)
+        if logpz is None:
+            return x, None
+        logdet, _ = self._logdetgrad(variables, z, x, rng, train=False)
+        return x, logpz + logdet
+
+    # ---- log-det ----
+    def _logdetgrad(self, variables, z, x, rng, train):
+        """logdet|dz/dx| (reference ``_logdetgrad``, implicit_block.py:245-350).
+        Returns ((B,) logdet, new block state with estimator moments)."""
+        cfg = self.logdet_cfg
+        vx = self._net_vars(variables, "nnet_x")
+        vz = self._net_vars(variables, "nnet_z")
+        apply_x, apply_z = self.nnet_x.apply, self.nnet_z.apply
+
+        D = int(jnp.prod(jnp.asarray(x.shape[1:])))
+        if (cfg.brute_force or not train) and (x.ndim == 2 and D <= 10):
+            logdet = ld.brute_force_logdet(apply_x, vx, x) - ld.brute_force_logdet(
+                apply_z, vz, z
+            )
+            return logdet, variables["state"]
+
+        if rng is None:
+            raise ValueError("stochastic logdet estimation requires an rng key")
+        k_n, k_ex, k_ez = jax.random.split(rng, 3)
+        geom_p = jax.nn.sigmoid(variables["params"]["geom_p"])
+        lamb = variables["params"]["lamb"]
+        coeffs, n_power, n_samples = ld.sample_n_dist(k_n, cfg, geom_p, lamb, train)
+        vareps_x = ld.sample_rademacher(k_ex, x.shape, x.dtype)
+        vareps_z = ld.sample_rademacher(k_ez, z.shape, z.dtype)
+        neumann = train and cfg.neumann_grad
+
+        def estimate(apply_fn, v, y, eps):
+            return ld.residual_logdet(
+                apply_fn, v, y, eps, coeffs, n_power,
+                neumann=neumann, exact_trace=cfg.exact_trace,
+            )
+
+        if train and cfg.grad_in_forward:
+            # Rematerialise the estimator in backward instead of storing the
+            # VJP chain (reference mem_eff_wrapper, implicit_block.py:441-450).
+            estimate = jax.checkpoint(estimate, static_argnums=(0,))
+
+        logdet = estimate(apply_x, vx, x, vareps_x) - estimate(apply_z, vz, z, vareps_z)
+
+        state = dict(variables["state"])
+        if train and cfg.n_power_series is None:
+            est = jax.lax.stop_gradient(logdet)
+            state["last_n_samples"] = n_samples.astype(jnp.float32)
+            state["last_firmom"] = jnp.mean(est)[None]
+            state["last_secmom"] = jnp.mean(est ** 2)[None]
+        return logdet, state
+
+    # ---- maintenance ----
+    def update_lipschitz(self, variables, n_iterations=None):
+        vx = self.nnet_x.update_lipschitz(self._net_vars(variables, "nnet_x"), n_iterations)
+        vz = self.nnet_z.update_lipschitz(self._net_vars(variables, "nnet_z"), n_iterations)
+        params = dict(variables["params"], nnet_x=vx["params"], nnet_z=vz["params"])
+        state = dict(variables["state"], nnet_x=vx["state"], nnet_z=vz["state"])
+        return make_vars(params, state)
+
+    def lipschitz_sigmas(self, variables):
+        return self.nnet_x.lipschitz_sigmas(self._net_vars(variables, "nnet_x")) + \
+            self.nnet_z.lipschitz_sigmas(self._net_vars(variables, "nnet_z"))
+
+    def lipschitz_one_iter(self, variables):
+        tx, cx = self.nnet_x.lipschitz_one_iter(self._net_vars(variables, "nnet_x"))
+        tz, cz = self.nnet_z.lipschitz_one_iter(self._net_vars(variables, "nnet_z"))
+        return tx + tz, cx + cz
+
+    def ords(self, variables):
+        return self.nnet_x.ords(self._net_vars(variables, "nnet_x")) + \
+            self.nnet_z.ords(self._net_vars(variables, "nnet_z"))

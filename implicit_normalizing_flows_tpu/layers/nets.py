@@ -1,0 +1,153 @@
+"""Residual nets used inside implicit/iResBlocks.
+
+Mirrors the reference's inline net builders: ``build_nnet`` for conv stacks
+(``lib/implicit_flow.py:362-399``), ``FCNet`` (``:437-474``) and the toy MLP
+builder (``train_toy.py:145-164``). A net is NOT a flow — just a
+Lipschitz-bounded map ``g: x -> g(x)`` with the Net protocol
+(``init``/``apply``) plus Lipschitz maintenance hooks.
+
+Learned p-orders: one unconstrained order vector ``p`` of length n_lip_layers
+lives at the net level; layer i sees ``domain=p[i], codomain=p[(i+1) % L]`` —
+the functional equivalent of the reference sharing ``nn.Parameter`` objects
+between consecutive layers (``implicit_flow.py:365-366``,
+``train_toy.py:150-155`` mixed mode).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .activations import Activation
+from .protocol import fold_rng, make_vars
+
+
+class Dropout:
+    """Inverted dropout (reference uses nn.Dropout inside nets; default 0)."""
+
+    def __init__(self, rate):
+        self.rate = rate
+
+    def init(self, rng, x):
+        return make_vars()
+
+    def apply(self, variables, x, *, rng=None, train=False):
+        if not train or rng is None or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class LipschitzNet:
+    """Ordered stack of Lipschitz layers / activations / dropout.
+
+    Args:
+      items: the ordered sub-nets. Items exposing ``one_iter_sigma`` are
+        treated as Lipschitz layers for learn-p order threading.
+      learn_p: create the shared order vector (asym-squashed at use sites).
+      flatten_io: FCNet behaviour (``implicit_flow.py:471-474``): flatten the
+        (B, C, H, W) input to (B, D), run the MLP, reshape back to
+        ``input_shape``.
+      input_shape: per-example output shape when flatten_io.
+    """
+
+    def __init__(self, items: Sequence, learn_p: bool = False,
+                 flatten_io: bool = False, input_shape=None):
+        self.items = list(items)
+        self.learn_p = learn_p
+        self.flatten_io = flatten_io
+        self.input_shape = tuple(input_shape) if input_shape is not None else None
+        self.lip_indices = [i for i, it in enumerate(self.items)
+                            if hasattr(it, "one_iter_sigma") or hasattr(it, "_normalized_weight")]
+
+    def _orders_for(self, variables, item_index):
+        """(domain, codomain) traced values for a lipschitz item, or (None, None)."""
+        if not self.learn_p:
+            return None, None
+        p = variables["params"]["p_orders"]
+        pos = self.lip_indices.index(item_index)
+        L = len(self.lip_indices)
+        return p[pos], p[(pos + 1) % L]
+
+    def init(self, rng, x):
+        if self.flatten_io:
+            x = x.reshape(x.shape[0], -1)
+        params, states = [], []
+        for i, item in enumerate(self.items):
+            v = item.init(fold_rng(rng, i), x)
+            params.append(v["params"])
+            states.append(v["state"])
+            x = item.apply(v, x)
+        p = {"layers": params}
+        if self.learn_p:
+            p["p_orders"] = jnp.zeros((len(self.lip_indices),))
+        return make_vars(p, states)
+
+    def apply(self, variables, x, *, rng=None, train=False):
+        orig_shape = x.shape
+        if self.flatten_io:
+            x = x.reshape(x.shape[0], -1)
+        for i, item in enumerate(self.items):
+            v = {"params": variables["params"]["layers"][i],
+                 "state": variables["state"][i]}
+            if i in self.lip_indices:
+                d, c = self._orders_for(variables, i)
+                x = item.apply(v, x, rng=fold_rng(rng, i), train=train,
+                               domain=d, codomain=c)
+            else:
+                x = item.apply(v, x, rng=fold_rng(rng, i), train=train)
+        if self.flatten_io:
+            shape = self.input_shape if self.input_shape is not None else orig_shape[1:]
+            x = x.reshape((x.shape[0],) + tuple(shape))
+        return x
+
+    def update_lipschitz(self, variables, n_iterations=None):
+        params = variables["params"]
+        states = list(variables["state"])
+        for i, item in enumerate(self.items):
+            if i not in self.lip_indices:
+                continue
+            d, c = self._orders_for(variables, i)
+            v = item.update_lipschitz(
+                {"params": params["layers"][i], "state": states[i]},
+                n_iterations, domain=d, codomain=c,
+            )
+            states[i] = v["state"]
+        return make_vars(params, states)
+
+    def lipschitz_sigmas(self, variables):
+        out = []
+        for i in self.lip_indices:
+            out.append(variables["state"][i]["sigma"])
+        return out
+
+    def lipschitz_one_iter(self, variables):
+        """Sum of differentiable one-step sigmas over learn-p layers
+        (``compute_p_grads``, train_toy.py:133-144)."""
+        total, count = jnp.zeros(()), 0
+        for i in self.lip_indices:
+            item = self.items[i]
+            if not getattr(item, "learn_p", False) or not hasattr(item, "one_iter_sigma"):
+                continue
+            d, c = self._orders_for(variables, i)
+            if d is None:
+                continue
+            v = {"params": variables["params"]["layers"][i],
+                 "state": variables["state"][i]}
+            total = total + item.one_iter_sigma(v, d, c)
+            count += 1
+        return total, count
+
+    def ords(self, variables):
+        from ..ops.power_iter import asym_squash
+        out = []
+        for i in self.lip_indices:
+            item = self.items[i]
+            if self.learn_p and getattr(item, "learn_p", False):
+                d, c = self._orders_for(variables, i)
+                out.extend([float(asym_squash(d)), float(asym_squash(c))])
+            else:
+                out.extend([getattr(item, "domain", None), getattr(item, "codomain", None)])
+        return out

@@ -1,0 +1,88 @@
+"""Solver oracles (SURVEY.md §4: Broyden vs analytic roots)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from implicit_normalizing_flows_tpu.ops import broyden, fixed_point_iteration, root_solve
+
+
+def test_linear_root():
+    # g(x) = A x - b with A = I + small contraction => unique root per example.
+    key = jax.random.PRNGKey(0)
+    B, D = 4, 16
+    k1, k2 = jax.random.split(key)
+    M = jax.random.normal(k1, (D, D)) * (0.5 / np.sqrt(D))
+    A = jnp.eye(D) + M
+    b = jax.random.normal(k2, (B, D))
+    x_star = jnp.linalg.solve(A, b.T).T
+
+    g = lambda x: x @ A.T - b
+    res = broyden(g, jnp.zeros((B, D)), threshold=60, eps=1e-7)
+    np.testing.assert_allclose(np.asarray(res.result), np.asarray(x_star), atol=1e-3)
+    assert bool(jnp.all(res.converged))
+    assert not bool(jnp.any(res.prot_break))
+
+
+def test_elementwise_nonlinear_root():
+    # x + 0.5*tanh(x) = c  (monotone, contraction residual)
+    B, D = 3, 8
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, D))
+    g = lambda x: x + 0.5 * jnp.tanh(x) - c
+    res = broyden(g, jnp.zeros((B, D)), threshold=40, eps=1e-8)
+    gx = g(res.result)
+    assert float(jnp.max(jnp.abs(gx))) < 1e-5
+
+
+def test_per_example_masking_freezes_converged_rows():
+    # Row 0 starts at the root (converged immediately); row 1 needs iterations.
+    D = 4
+    c = jnp.stack([jnp.zeros(D), jnp.ones(D)])
+    g = lambda x: x - c
+    x0 = jnp.stack([jnp.zeros(D), jnp.zeros(D)])  # row 0 already solves g=0
+    res = broyden(g, x0, threshold=20, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(res.result[0]), np.zeros(D), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.result[1]), np.ones(D), atol=1e-5)
+    assert int(res.best_step[0]) == 0  # never moved
+
+
+def test_jit_and_no_host_sync():
+    g = lambda x: x + 0.3 * jnp.sin(x) - 1.0
+    f = jax.jit(lambda x0: broyden(g, x0, threshold=30, eps=1e-7).result)
+    out = f(jnp.zeros((2, 5)))
+    assert float(jnp.max(jnp.abs(out + 0.3 * jnp.sin(out) - 1.0))) < 1e-5
+
+
+def test_fixed_point_iteration():
+    # x = cos(x) has fixed point ~0.739085
+    g = lambda x: jnp.cos(x)
+    y = jnp.full((2, 3), 0.5)
+    x = fixed_point_iteration(g, y, threshold=500, eps=1e-7)
+    np.testing.assert_allclose(np.asarray(x), 0.7390851, atol=1e-3)
+
+
+def test_root_solve_banach_fallback():
+    # A residual whose Broyden iterates explode: g(x) = exp(5(x - c)) - 1 from
+    # far away diverges under full Newton-ish steps but the contraction map
+    # x <- c + 0.5*sin(x - c) converges; prot_break rows take the fallback.
+    c = jnp.ones((2, 3)) * 0.2
+    g = lambda x: 2.0 * (x - c)  # benign; root x = c
+    banach_g = lambda x: c + 0.0 * x
+    z, res = root_solve(g, banach_g, jnp.zeros_like(c), threshold=25, eps=1e-7, banach_x0=jnp.zeros_like(c))
+    np.testing.assert_allclose(np.asarray(z), np.asarray(c), atol=1e-5)
+
+
+def test_sharded_batch_runs():
+    # The solve must compile and run with the batch sharded over 8 CPU devices.
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices())
+    assert devs.size == 8, "conftest should force 8 host devices"
+    mesh = Mesh(devs, ("data",))
+    g = lambda x: x + 0.5 * jnp.tanh(x) - 1.0
+    x0 = jnp.zeros((16, 8))
+    sharding = NamedSharding(mesh, P("data", None))
+    x0 = jax.device_put(x0, sharding)
+    f = jax.jit(lambda x: broyden(g, x, threshold=30, eps=1e-7).result)
+    out = f(x0)
+    assert float(jnp.max(jnp.abs(g(out)))) < 1e-5
