@@ -1,1 +1,1 @@
-
+from .toy import inf_train_gen  # noqa: F401

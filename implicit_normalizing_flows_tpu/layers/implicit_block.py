@@ -33,6 +33,8 @@ memory/compute trade, expressed to the XLA scheduler.
 """
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 
 import jax
@@ -242,7 +244,7 @@ class ImplicitBlock(Flow):
         vz = self._net_vars(variables, "nnet_z")
         apply_x, apply_z = self.nnet_x.apply, self.nnet_z.apply
 
-        D = int(jnp.prod(jnp.asarray(x.shape[1:])))
+        D = int(math.prod(x.shape[1:]))
         if (cfg.brute_force or not train) and (x.ndim == 2 and D <= 10):
             logdet = ld.brute_force_logdet(apply_x, vx, x) - ld.brute_force_logdet(
                 apply_z, vz, z

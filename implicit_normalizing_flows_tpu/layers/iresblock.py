@@ -6,6 +6,8 @@ the inverse is Banach fixed-point iteration ``x <- y - g(x)``
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -114,7 +116,7 @@ class IResBlock(Flow):
         v = self._net_vars(variables)
         apply_fn = self.nnet.apply
 
-        D = int(jnp.prod(jnp.asarray(x.shape[1:])))
+        D = int(math.prod(x.shape[1:]))
         if (cfg.brute_force or not train) and (x.ndim == 2 and D <= 10):
             return ld.brute_force_logdet(apply_fn, v, x), variables["state"]
 

@@ -1,0 +1,51 @@
+"""Device mesh + sharding for data/trace-parallel training.
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+scatter/gather (``train_img.py:203-204``; SURVEY.md §2.5 P1/P6). The
+TPU-native story is single-controller JAX over a ``Mesh``:
+
+* ``data`` axis: batch sharded; gradients reduce over ICI automatically when
+  the jitted loss takes a mean over the sharded batch.
+* ``trace`` axis (optional): Hutchinson estimator samples are embarrassingly
+  parallel (``n_samples``, ``implicit_block.py:114``) — replicate the batch
+  and average independent estimator draws with distinct fold_in keys.
+* a ``model`` axis is left available for future tensor parallelism (the
+  reference models are small enough that replication is correct —
+  SURVEY.md §2.5).
+
+Per-example convergence masks in the Broyden solver mean the only cross-
+device collectives inside the solve are the tiny ``any(active)`` loop
+predicates; no per-iteration host syncs anywhere.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_trace: int = 1, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_trace
+    devs = np.array(devices[: n_data * n_trace]).reshape(n_data, n_trace)
+    return Mesh(devs, ("data", "trace"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Batch axis over 'data', everything else replicated."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def place_batch(mesh: Mesh, x):
+    return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+
+def place_replicated(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)

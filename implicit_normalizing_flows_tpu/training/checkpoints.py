@@ -1,0 +1,47 @@
+"""Checkpoint save/restore with the reference's rotation discipline
+(``lib/utils.py:90-100``: rotating keep-N by epoch + ``most_recent`` every
+epoch, ``train_img.py:842-858``). Pytrees are host-transferred to numpy and
+pickled; restore re-places them on device lazily at first use.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(state: dict, save_dir: str, epoch: int,
+                    last_checkpoints=None, num_checkpoints=None):
+    """state is an arbitrary pytree/dict (params, opt state, EMA shadow, args,
+    metrics — mirroring the reference dict, ``train_img.py:844-850``)."""
+    os.makedirs(save_dir, exist_ok=True)
+    filename = os.path.join(save_dir, f"checkpt-{epoch:04d}.pkl")
+    with open(filename, "wb") as f:
+        pickle.dump(_to_numpy(state), f)
+    if last_checkpoints is not None and num_checkpoints is not None:
+        last_checkpoints.append(epoch)
+        if len(last_checkpoints) > num_checkpoints:
+            rm_epoch = last_checkpoints.pop(0)
+            old = os.path.join(save_dir, f"checkpt-{rm_epoch:04d}.pkl")
+            if os.path.exists(old):
+                os.remove(old)
+    return filename
+
+
+def save_most_recent(state: dict, save_dir: str):
+    os.makedirs(save_dir, exist_ok=True)
+    filename = os.path.join(save_dir, "most_recent.pkl")
+    with open(filename, "wb") as f:
+        pickle.dump(_to_numpy(state), f)
+    return filename
+
+
+def load_checkpoint(path: str):
+    with open(path, "rb") as f:
+        return pickle.load(f)
