@@ -1,0 +1,87 @@
+"""Throughput bench: CIFAR-10 recipe training samples/s on the local device.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "samples/s", "vs_baseline": N}
+
+Config matches ``run_cifar10.sh`` (nblocks 2-2-2, idim 512, swish, kernels
+3-1-3, vnorms 2222, coeff 0.9, n-exact-terms 10, preact, fc-end False, batch
+64, Adam beta(0.9,0.99), warmup, clip 1.0, EMA 0.999) on synthetic
+CIFAR-shaped uint8 data (the dataset is not downloadable in a zero-egress
+image; dequantisation noise makes the compute identical).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md). We pin an
+estimated reference GPU throughput of 20 samples/s (batch 64 at ~3.2 s/step
+for the same recipe on a V100-class GPU — implicit flows are solver-dominated
+and train for days in the paper's setting). This constant is an estimate, not
+a measurement; the absolute samples/s is the durable metric.
+
+Env overrides: BENCH_STEPS, BENCH_BATCH, BENCH_WARMUP.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_GPU_SAMPLES_PER_SEC_ESTIMATE = 20.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from implicit_normalizing_flows_tpu.training import adam, ema_init, linear_warmup
+    from implicit_normalizing_flows_tpu.training.loops import make_image_step
+    from __graft_entry__ import _build
+
+    batch = int(os.environ.get("BENCH_BATCH", 64))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    warmup = int(os.environ.get("BENCH_WARMUP", 3))
+    size = 32
+
+    model = _build([2, 2, 2], 512, size, batch, n_exact_terms=10,
+                   coeff=0.9, fc_end=False, n_lip_iters=5)
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (batch, 3, size, size),
+                            minval=0.05, maxval=0.95)
+    variables = model.init(jax.random.PRNGKey(1), x0)
+    variables = model.init_with_batch(variables, x0, rng=jax.random.PRNGKey(2))
+    params, state = variables["params"], variables["state"]
+
+    optimizer = adam(linear_warmup(1e-3, 1000), betas=(0.9, 0.99), grad_clip=1.0)
+    opt_state = optimizer.init(params)
+    shadow = ema_init(params)
+    step = make_image_step(model, optimizer, im_dim=3, imagesize=size,
+                           task="density", n_lipschitz_iters=5)
+
+    rng_np = np.random.RandomState(0)
+    x_u8 = jnp.asarray(rng_np.randint(0, 256, size=(batch, 3, size, size), dtype=np.uint8))
+    y = jnp.zeros((batch,), jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    for i in range(warmup):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, shadow, m = step(
+            params, state, opt_state, shadow, x_u8, y, sub, jnp.ones(()))
+    jax.block_until_ready(params)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, shadow, m = step(
+            params, state, opt_state, shadow, x_u8, y, sub, jnp.ones(()))
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = batch * steps / dt
+    print(json.dumps({
+        "metric": "cifar10_train_samples_per_sec",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / REFERENCE_GPU_SAMPLES_PER_SEC_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Image datasets as host-resident uint8 numpy arrays (reference:
+``lib/datasets.py``; driver transforms ``train_img.py:155-194``).
+
+TPU-first input pipeline: images stay uint8 on the host and over PCIe; the
+uniform-dequantisation ``add_noise`` (``train_img.py:161-169``) and bit
+reduction (``:152-158``) happen on device inside the jitted step, where
+``(u8 + uniform) / 256`` is exactly the reference's
+``(x*255 + noise) / 256`` on ToTensor output.
+
+CIFAR-10/MNIST load via torchvision from ``dataroot`` when present (zero
+egress in this image — no downloads); CelebA-HQ / CelebA-5bit /
+ImageNet32/64 load the standard preprocessed ``.pth`` tensors
+(``lib/datasets.py:5-103``) via torch (CPU). Every loader supports a
+``synthetic_fallback`` producing right-shaped random data so throughput
+benches and smoke tests run without the datasets.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+class ImageData:
+    """x: (N, C, H, W) uint8; y: (N,) int64 labels (zeros when unlabeled)."""
+
+    def __init__(self, name, x, y=None, synthetic=False):
+        self.name = name
+        self.x = x
+        self.y = y if y is not None else np.zeros((x.shape[0],), np.int64)
+        self.synthetic = synthetic
+
+    def __len__(self):
+        return self.x.shape[0]
+
+    @property
+    def shape(self):
+        return self.x.shape[1:]
+
+    def batches(self, batch_size, rng=None, shuffle=True, drop_last=True):
+        n = len(self)
+        idx = rng.permutation(n) if (shuffle and rng is not None) else np.arange(n)
+        end = n - (n % batch_size) if drop_last else n
+        for i in range(0, end, batch_size):
+            sel = idx[i:i + batch_size]
+            yield self.x[sel], self.y[sel]
+
+
+def _synthetic(name, n, c, h, w, n_classes=10, seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randint(0, 256, size=(n, c, h, w), dtype=np.uint8)
+    y = rng.randint(0, n_classes, size=(n,)).astype(np.int64)
+    return ImageData(name, x, y, synthetic=True)
+
+
+def load_cifar10(dataroot, train=True, synthetic_fallback=False, synthetic_n=2048):
+    try:
+        from torchvision.datasets import CIFAR10
+
+        ds = CIFAR10(dataroot, train=train, download=False)
+        x = np.asarray(ds.data).transpose(0, 3, 1, 2)  # HWC -> CHW
+        y = np.asarray(ds.targets, np.int64)
+        return ImageData("cifar10", x.astype(np.uint8), y)
+    except Exception:
+        if not synthetic_fallback:
+            raise
+        return _synthetic("cifar10", synthetic_n, 3, 32, 32)
+
+
+def load_mnist(dataroot, train=True, synthetic_fallback=False, synthetic_n=2048):
+    try:
+        from torchvision.datasets import MNIST
+
+        ds = MNIST(dataroot, train=train, download=False)
+        x = np.asarray(ds.data)[:, None, :, :]
+        y = np.asarray(ds.targets, np.int64)
+        return ImageData("mnist", x.astype(np.uint8), y)
+    except Exception:
+        if not synthetic_fallback:
+            raise
+        return _synthetic("mnist", synthetic_n, 1, 28, 28)
+
+
+def load_pth_dataset(name, loc, train=True, test_head=None,
+                     synthetic_fallback=False, synthetic_shape=None, synthetic_n=512):
+    """Preprocessed-tensor datasets (lib/datasets.py:5-24,58-103)."""
+    try:
+        import torch
+
+        t = torch.load(loc, map_location="cpu")
+        x = t.numpy()
+        if test_head is not None and not train:
+            x = x[:test_head]
+        return ImageData(name, x.astype(np.uint8))
+    except Exception:
+        if not synthetic_fallback:
+            raise
+        c, h, w = synthetic_shape
+        return _synthetic(name, synthetic_n, c, h, w)
+
+
+def load_dataset(name, dataroot, train=True, synthetic_fallback=False):
+    if name == "cifar10":
+        return load_cifar10(dataroot, train, synthetic_fallback)
+    if name == "mnist":
+        return load_mnist(dataroot, train, synthetic_fallback)
+    if name == "svhn":
+        try:
+            from torchvision.datasets import SVHN
+
+            ds = SVHN(dataroot, split="train" if train else "test", download=False)
+            return ImageData("svhn", np.asarray(ds.data, np.uint8),
+                             np.asarray(ds.labels, np.int64))
+        except Exception:
+            if not synthetic_fallback:
+                raise
+            return _synthetic("svhn", 2048, 3, 32, 32)
+    if name == "celebahq":
+        loc = os.path.join(dataroot, "celebahq",
+                           "celeba256_train.pth" if train else "celeba256_validation.pth")
+        return load_pth_dataset("celebahq", loc, train,
+                                synthetic_fallback=synthetic_fallback,
+                                synthetic_shape=(3, 256, 256))
+    if name == "celeba_5bit":
+        loc = os.path.join(dataroot, "celebahq64_5bit", "celeba_full_64x64_5bit.pth")
+        return load_pth_dataset("celeba_5bit", loc, train, test_head=5000,
+                                synthetic_fallback=synthetic_fallback,
+                                synthetic_shape=(3, 64, 64))
+    if name == "imagenet32":
+        loc = os.path.join(dataroot, "imagenet32",
+                           "train_32x32.pth" if train else "valid_32x32.pth")
+        return load_pth_dataset("imagenet32", loc, train,
+                                synthetic_fallback=synthetic_fallback,
+                                synthetic_shape=(3, 32, 32))
+    if name == "imagenet64":
+        loc = os.path.join(dataroot, "imagenet64",
+                           "train_64x64.pth" if train else "valid_64x64.pth")
+        return load_pth_dataset("imagenet64", loc, train,
+                                synthetic_fallback=synthetic_fallback,
+                                synthetic_shape=(3, 64, 64))
+    raise ValueError(f"unknown dataset {name}")
+
+
+def random_flip(x, rng):
+    """Host-side horizontal flip augmentation (train_img.py transform)."""
+    flip = rng.rand(x.shape[0]) < 0.5
+    x = x.copy()
+    x[flip] = x[flip, :, :, ::-1]
+    return x
+
+
+def random_crop(x, rng, padding=4, mode="reflect"):
+    """RandomCrop(32, padding=4) for classification (train_img.py:214-217)."""
+    n, c, h, w = x.shape
+    pad_mode = "reflect" if mode == "reflect" else "constant"
+    xp = np.pad(x, ((0, 0), (0, 0), (padding, padding), (padding, padding)), mode=pad_mode)
+    out = np.empty_like(x)
+    offs_h = rng.randint(0, 2 * padding + 1, size=n)
+    offs_w = rng.randint(0, 2 * padding + 1, size=n)
+    for i in range(n):
+        out[i] = xp[i, :, offs_h[i]:offs_h[i] + h, offs_w[i]:offs_w[i] + w]
+    return out
+
+
+def resize_nearest(x, size):
+    """Nearest-neighbour resize of (N, C, H, W) uint8 to (size, size)
+    (stand-in for torchvision transforms.Resize in the drivers)."""
+    n, c, h, w = x.shape
+    if h == size and w == size:
+        return x
+    ridx = (np.arange(size) * (h / size)).astype(np.int64)
+    cidx = (np.arange(size) * (w / size)).astype(np.int64)
+    return x[:, :, ridx][:, :, :, cidx]

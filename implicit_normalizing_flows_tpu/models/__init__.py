@@ -10,3 +10,9 @@ from .builders import (  # noqa: F401
     build_toy_model,
 )
 from .modules import PlainConv2d, PlainDense  # noqa: F401
+from .resflow import (  # noqa: F401
+    ResidualFlow,
+    StackedCouplingBlocks,
+    StackediResBlocks,
+    build_residual_flow,
+)

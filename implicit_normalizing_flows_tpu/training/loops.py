@@ -93,3 +93,142 @@ def make_density_eval_step(model, *, mesh=None, in_shardings=None):
         xs = in_shardings if in_shardings is not None else batch_sharding(mesh, 2)
         return jax.jit(step, in_shardings=(rep, rep, xs, rep))
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Image workloads (train_img.py): density / classification / hybrid.
+# ---------------------------------------------------------------------------
+
+def dequantize(x_u8, rng, nvals=256, nbits=8, add_noise=True):
+    """On-device uniform dequantisation. (u8 + u)/nvals equals the reference's
+    ToTensor -> (x*255 + u)/256 pipeline (train_img.py:161-169); nbits < 8
+    first floors to the reduced bit depth (reduce_bits, train_img.py:152-158)."""
+    x = x_u8.astype(jnp.float32)
+    if nbits < 8:
+        x = jnp.floor(x / 2 ** (8 - nbits))
+    if add_noise:
+        x = (x + jax.random.uniform(rng, x.shape)) / nvals
+    else:
+        x = x / nvals + 1.0 / (2 * nvals)
+    return x
+
+
+def add_padding(x, rng, padding, padding_dist="uniform", nvals=256):
+    """Pad extra uniform/gaussian channels (train_img.py:179-194). Returns
+    (x_padded, logpu) with logpu the log-density of the padding sample."""
+    if padding <= 0:
+        return x, jnp.zeros((x.shape[0],), x.dtype)
+    b, _, h, w = x.shape
+    if padding_dist == "uniform":
+        u = jax.random.uniform(rng, (b, padding, h, w))
+        logpu = jnp.zeros((b,), x.dtype)
+        return jnp.concatenate([x, u / nvals], axis=1), logpu
+    if padding_dist == "gaussian":
+        mean, std = nvals / 2.0, nvals / 8.0
+        u = mean + std * jax.random.normal(rng, (b, padding, h, w))
+        logp = -0.5 * (((u - mean) / std) ** 2 + 2 * math.log(std) + math.log(2 * math.pi))
+        return jnp.concatenate([x, u / nvals], axis=1), jnp.sum(logp, axis=(1, 2, 3))
+    raise ValueError(padding_dist)
+
+
+def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
+                    nbits=8, padding=0, padding_dist="uniform", task="density",
+                    add_noise_flag=True, squeeze_first=False,
+                    n_lipschitz_iters=None, ema_decay=0.999, learn_p=False,
+                    p_penalty_scale=1.0, train=True, mesh=None):
+    """Jitted image train (optimizer given) or eval step for the multiscale
+    ImplicitFlow model, fusing the reference's whole iteration
+    (compute_loss train_img.py:517-554 + step + update_lipschitz + EMA)."""
+    from ..layers.squeeze import squeeze as squeeze_fn
+
+    dim_total = imagesize * imagesize * (im_dim + padding)
+    dim_data = imagesize * imagesize * im_dim
+
+    def loss_fn(params, state, x_u8, y, rng, beta):
+        k_noise, k_pad, k_fwd = jax.random.split(rng, 3)
+        x = dequantize(x_u8, k_noise, nvals=nvals, nbits=nbits, add_noise=add_noise_flag)
+        x, logpu = add_padding(x, k_pad, padding, padding_dist, nvals)
+        if squeeze_first:
+            x = squeeze_fn(x)
+        variables = make_vars(params, state)
+
+        logits = None
+        if task == "hybrid":
+            z, delta_logp, new_state, logits = model.forward(
+                variables, x, jnp.zeros((x.shape[0],), x.dtype),
+                rng=k_fwd, train=train, classify=True)
+        elif task == "density":
+            z, delta_logp, new_state = model.forward(
+                variables, x, jnp.zeros((x.shape[0],), x.dtype),
+                rng=k_fwd, train=train)
+        elif task == "classification":
+            z, _, new_state, logits = model.forward(
+                variables, x, None, rng=k_fwd, train=train, classify=True)
+            delta_logp = None
+        else:
+            raise ValueError(task)
+
+        metrics = {}
+        bpd = jnp.zeros(())
+        if task in ("density", "hybrid"):
+            logpz = standard_normal_logprob(z)
+            # bits/dim constants (train_img.py:541-549)
+            logpx = logpz - beta * delta_logp - math.log(nvals) * dim_total - logpu
+            bpd = -jnp.mean(logpx) / dim_data / math.log(2)
+            metrics["bpd"] = bpd
+            metrics["logpz"] = jnp.mean(logpz)
+            metrics["delta_logp"] = jnp.mean(-delta_logp)
+
+        if task == "density":
+            loss = bpd
+        else:
+            ce = jnp.mean(
+                -jnp.sum(jax.nn.log_softmax(logits) * jax.nn.one_hot(y, logits.shape[1]), axis=1)
+            )
+            acc = jnp.mean((jnp.argmax(logits, axis=1) == y).astype(jnp.float32))
+            metrics["ce"] = ce
+            metrics["acc"] = acc
+            if task == "classification":
+                loss = ce
+            else:  # hybrid: bpd scaled back to nats-per-image + CE in bits
+                loss = bpd * dim_data + ce / math.log(2)
+
+        if learn_p and train:
+            total, count = model.lipschitz_one_iter(variables)
+            if count > 0:
+                loss = loss + p_penalty_scale * total / count
+        metrics["loss"] = loss
+        return loss, (new_state, metrics)
+
+    if optimizer is None:
+        def eval_step(params, state, x_u8, y, rng):
+            _, (_, metrics) = loss_fn(params, state, x_u8, y, rng, jnp.ones(()))
+            return metrics
+        step = eval_step
+    else:
+        def train_step(params, state, opt_state, ema_shadow, x_u8, y, rng, beta):
+            (loss, (new_state, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, state, x_u8, y, rng, beta)
+            # NaN-grad nulling for learn-p (train_img.py:575-578 analog),
+            # applied uniformly: non-finite grads become 0.
+            if learn_p:
+                grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            v = model.update_lipschitz(make_vars(params, new_state), n_lipschitz_iters)
+            params, new_state = v["params"], v["state"]
+            ema_shadow = ema_apply(ema_shadow, params, ema_decay)
+            return params, new_state, new_opt_state, ema_shadow, metrics
+        step = train_step
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated
+
+        rep = replicated(mesh)
+        xs = batch_sharding(mesh, 4)
+        ys = batch_sharding(mesh, 1)
+        if optimizer is None:
+            return jax.jit(step, in_shardings=(rep, rep, xs, ys, rep))
+        return jax.jit(step, in_shardings=(rep, rep, rep, rep, xs, ys, rep, rep))
+    return jax.jit(step)

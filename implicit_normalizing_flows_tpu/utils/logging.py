@@ -27,7 +27,7 @@ def get_logger(logpath, filepath=None, package_files=(), displaying=True,
         ch = logging.StreamHandler()
         ch.setLevel(level)
         logger.addHandler(ch)
-    if filepath is not None:
+    if filepath is not None and os.path.isfile(filepath):
         logger.info(filepath)
         with open(filepath) as f:
             logger.info(f.read())

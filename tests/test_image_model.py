@@ -1,0 +1,104 @@
+"""Multiscale image model: shapes, reconstruction, bpd train step, hybrid
+classification (reconstruction check mirrors the reference's visualize
+round-trip, train_img.py:756)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from implicit_normalizing_flows_tpu.layers import LogitTransform
+from implicit_normalizing_flows_tpu.models import ImplicitFlow
+from implicit_normalizing_flows_tpu.training import adam, ema_init, linear_warmup
+from implicit_normalizing_flows_tpu.training.loops import make_image_step
+from implicit_normalizing_flows_tpu.layers.protocol import make_vars
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    B, C, H, W = 4, 3, 8, 8
+    model = ImplicitFlow(
+        input_size=(B, C, H, W),
+        n_blocks=[1, 1],
+        intermediate_dim=16,
+        factor_out=True,
+        init_layer=LogitTransform(0.05),
+        actnorm=True,
+        kernels="3-1-3",
+        vnorms="2222",
+        coeff=0.9,
+        activation_fn="swish",
+        n_lipschitz_iters=5,
+        fc_end=False,
+        n_power_series=None,
+        n_exact_terms=2,
+        neumann_grad=True,
+        grad_in_forward=False,
+        preact=True,
+        classification=True,
+        classification_hdim=8,
+        n_classes=10,
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(0), (B, C, H, W), minval=0.05, maxval=0.95)
+    v = model.init(jax.random.PRNGKey(1), x)
+    v = model.init_with_batch(v, x, rng=jax.random.PRNGKey(2))
+    return model, v, x
+
+
+def test_forward_shapes_and_roundtrip(tiny_model):
+    model, v, x = tiny_model
+    z, delta, _ = model.forward(v, x, jnp.zeros((x.shape[0],)), rng=jax.random.PRNGKey(3))
+    assert z.shape == (x.shape[0], 3 * 8 * 8)
+    assert np.isfinite(np.asarray(delta)).all()
+    x_rec, _ = model.inverse(v, z, None, rng=jax.random.PRNGKey(4))
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=5e-3)
+
+
+def test_classification_logits(tiny_model):
+    model, v, x = tiny_model
+    out, logp, _, logits = model.forward(
+        v, x, jnp.zeros((x.shape[0],)), rng=jax.random.PRNGKey(5), classify=True
+    )
+    assert logits.shape == (x.shape[0], 10)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_image_train_step_density(tiny_model):
+    model, v, x = tiny_model
+    params, state = v["params"], v["state"]
+    optimizer = adam(linear_warmup(1e-3, 10), betas=(0.9, 0.99), grad_clip=1.0)
+    opt_state = optimizer.init(params)
+    shadow = ema_init(params)
+    step = make_image_step(
+        model, optimizer, im_dim=3, imagesize=8, task="density",
+        n_lipschitz_iters=5,
+    )
+    x_u8 = np.random.RandomState(0).randint(0, 256, size=x.shape, dtype=np.uint8)
+    y = np.zeros((x.shape[0],), np.int64)
+    losses = []
+    key = jax.random.PRNGKey(6)
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, shadow, m = step(
+            params, state, opt_state, shadow, x_u8, y, sub, jnp.ones(())
+        )
+        losses.append(float(m["bpd"]))
+    assert np.isfinite(losses).all(), losses
+
+
+def test_image_train_step_hybrid(tiny_model):
+    model, v, x = tiny_model
+    params, state = v["params"], v["state"]
+    optimizer = adam(linear_warmup(1e-3, 10), betas=(0.9, 0.99), grad_clip=1.0)
+    opt_state = optimizer.init(params)
+    shadow = ema_init(params)
+    step = make_image_step(
+        model, optimizer, im_dim=3, imagesize=8, task="hybrid",
+        n_lipschitz_iters=5,
+    )
+    x_u8 = np.random.RandomState(1).randint(0, 256, size=x.shape, dtype=np.uint8)
+    y = np.random.RandomState(2).randint(0, 10, size=(x.shape[0],)).astype(np.int64)
+    params, state, opt_state, shadow, m = step(
+        params, state, opt_state, shadow, x_u8, y, jax.random.PRNGKey(7), jnp.ones(())
+    )
+    assert np.isfinite(float(m["loss"]))
+    assert "ce" in m and np.isfinite(float(m["ce"]))

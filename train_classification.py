@@ -1,0 +1,192 @@
+"""Classification driver with ImplicitResNet18 (reference:
+``/root/reference/train_classification.py``; recipe: ``run_classification.sh``).
+
+Implicit blocks are used as plain feature maps (no log-det); the loss is the
+summed cross entropy (``train_classification.py:356``, size_average=False),
+with step-decay LR at epochs 75/90/100 (``:418-429``), post-step Lipschitz
+power iteration and EMA.
+"""
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from implicit_normalizing_flows_tpu.data.images import (
+    load_dataset,
+    random_crop,
+    random_flip,
+)
+from implicit_normalizing_flows_tpu.layers.protocol import make_vars
+from implicit_normalizing_flows_tpu.models.classification import ImplicitResNet18, ResNet18
+from implicit_normalizing_flows_tpu.training import adam, ema_apply, ema_init
+from implicit_normalizing_flows_tpu.utils import RunningAverageMeter, get_logger, makedirs
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", type=str, default="cifar100", choices=["cifar10", "cifar100"])
+    p.add_argument("--dataroot", type=str, default="data")
+    p.add_argument("--arch", type=str, default="implicit", choices=["implicit", "resnet"])
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--test-batch-size", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=76)
+    p.add_argument("--weight-decay", "--wd", type=float, default=2e-4)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--log-interval", type=int, default=100)
+    p.add_argument("--model-dir", default="./experiments/model-cifar-Resnet18")
+    p.add_argument("--coeff", type=float, default=0.99)
+    p.add_argument("--n-lipschitz-iters", type=int, default=None)
+    p.add_argument("--sn-tol", type=float, default=1e-3)
+    p.add_argument("--rcrop-pad-mode", type=str, default="reflect")
+    p.add_argument("--synthetic-data", type=eval, choices=[True, False], default=False)
+    p.add_argument("--max-iters-per-epoch", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def load_cifar100(dataroot, train, synthetic_fallback):
+    try:
+        from torchvision.datasets import CIFAR100
+
+        ds = CIFAR100(dataroot, train=train, download=False)
+        from implicit_normalizing_flows_tpu.data.images import ImageData
+
+        x = np.asarray(ds.data).transpose(0, 3, 1, 2).astype(np.uint8)
+        return ImageData("cifar100", x, np.asarray(ds.targets, np.int64))
+    except Exception:
+        if not synthetic_fallback:
+            raise
+        from implicit_normalizing_flows_tpu.data.images import _synthetic
+
+        return _synthetic("cifar100", 2048, 3, 32, 32, n_classes=100)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    makedirs(args.model_dir)
+    logger = get_logger(os.path.join(args.model_dir, "logs"), os.path.abspath(__file__))
+    logger.info(args)
+
+    np_rng = np.random.RandomState(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    n_classes = 100 if args.data == "cifar100" else 10
+
+    if args.data == "cifar100":
+        train_data = load_cifar100(args.dataroot, True, args.synthetic_data)
+        test_data = load_cifar100(args.dataroot, False, args.synthetic_data)
+    else:
+        train_data = load_dataset("cifar10", args.dataroot, True, args.synthetic_data)
+        test_data = load_dataset("cifar10", args.dataroot, False, args.synthetic_data)
+
+    ctor = ImplicitResNet18 if args.arch == "implicit" else ResNet18
+    model = ctor(num_classes=n_classes, coeff=args.coeff,
+                 n_lipschitz_iters=args.n_lipschitz_iters,
+                 sn_atol=args.sn_tol, sn_rtol=args.sn_tol)
+
+    x0_u8, _ = next(train_data.batches(args.batch_size, np_rng))
+    x0 = jnp.asarray(x0_u8).astype(jnp.float32) / 255.0
+    key, k_init = jax.random.split(key)
+    variables = model.init(k_init, x0)
+    params, state = variables["params"], variables["state"]
+    n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
+    logger.info(f"Number of trainable parameters: {n_params}")
+
+    # step-decay at 75/90/100 (train_classification.py:418-429); the step fn
+    # is rebuilt at each decay boundary (3 recompiles per run).
+    def make_optimizer(lr):
+        return adam(lambda step: lr, betas=(0.9, 0.99), weight_decay=args.weight_decay)
+
+    optimizer = make_optimizer(args.lr)
+    opt_state = optimizer.init(params)
+    shadow = ema_init(params)
+
+    def loss_fn(params, state, x, y, rng):
+        logits = model.apply(make_vars(params, state), x, rng=rng, train=True)
+        ce = -jnp.sum(jax.nn.log_softmax(logits) *
+                      jax.nn.one_hot(y, n_classes))  # summed CE (reference :356)
+        acc = jnp.mean((jnp.argmax(logits, 1) == y).astype(jnp.float32))
+        return ce, acc
+
+    def make_train_step(lr):
+        opt = make_optimizer(lr)
+
+        @jax.jit
+        def train_step(params, state, opt_state, shadow, x_u8, y, rng):
+            k1, k2 = jax.random.split(rng)
+            x = (x_u8.astype(jnp.float32) + jax.random.uniform(k1, x_u8.shape)) / 256.0
+            (ce, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, state, x, y, k2)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            v = model.update_lipschitz(make_vars(params, state), args.n_lipschitz_iters)
+            params, state = v["params"], v["state"]
+            shadow = ema_apply(shadow, params)
+            return params, state, opt_state, shadow, ce, acc
+
+        return train_step
+
+    @jax.jit
+    def eval_step(params, state, x_u8, y, rng):
+        x = (x_u8.astype(jnp.float32) + jax.random.uniform(rng, x_u8.shape)) / 256.0
+        logits = model.apply(make_vars(params, state), x, train=False)
+        ce = -jnp.sum(jax.nn.log_softmax(logits) * jax.nn.one_hot(y, n_classes))
+        correct = jnp.sum((jnp.argmax(logits, 1) == y).astype(jnp.int32))
+        return ce, correct
+
+    loss_meter = RunningAverageMeter(0.97)
+    time_meter = RunningAverageMeter(0.97)
+    train_step = make_train_step(args.lr)
+    cur_lr = args.lr
+    for epoch in range(args.epochs):
+        lr = args.lr
+        if epoch >= 75:
+            lr = args.lr * 0.1
+        if epoch >= 90:
+            lr = args.lr * 0.01
+        if epoch >= 100:
+            lr = args.lr * 0.001
+        if lr != cur_lr:
+            train_step = make_train_step(lr)
+            cur_lr = lr
+        end = time.time()
+        for i, (x_u8, y) in enumerate(train_data.batches(args.batch_size, np_rng)):
+            if args.max_iters_per_epoch and i >= args.max_iters_per_epoch:
+                break
+            if not train_data.synthetic:
+                x_u8 = random_flip(x_u8, np_rng)
+                x_u8 = random_crop(x_u8, np_rng, 4, args.rcrop_pad_mode)
+            key, sub = jax.random.split(key)
+            params, state, opt_state, shadow, ce, acc = train_step(
+                params, state, opt_state, shadow,
+                jnp.asarray(np.ascontiguousarray(x_u8)), jnp.asarray(y), sub)
+            loss_meter.update(float(ce))
+            time_meter.update(time.time() - end)
+            end = time.time()
+            if i % args.log_interval == 0:
+                logger.info(f"Train Epoch: {epoch} [{i}] | Time {time_meter.val:.3f}"
+                            f" | Loss: {loss_meter.val:.6f} | Acc {float(acc):.3f}")
+
+        total_ce, total_correct, total_n, nb = 0.0, 0, 0, 0
+        for x_u8, y in test_data.batches(args.test_batch_size, None, shuffle=False):
+            key, sub = jax.random.split(key)
+            ce, correct = eval_step(shadow, state, jnp.asarray(x_u8), jnp.asarray(y), sub)
+            total_ce += float(ce)
+            total_correct += int(correct)
+            total_n += len(y)
+            nb += 1
+            if args.max_iters_per_epoch and nb >= args.max_iters_per_epoch:
+                break
+        logger.info(f"Test Epoch {epoch}: CE {total_ce / max(total_n,1):.4f} | "
+                    f"Acc {100.0 * total_correct / max(total_n,1):.2f}%")
+
+    logger.info("Training has finished.")
+    return params, state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,335 @@
+"""Image density / classification / hybrid training driver
+(reference: ``/root/reference/train_img.py``; CIFAR-10 recipe:
+``run_cifar10.sh``).
+
+TPU-native execution: uint8 batches stream to the device; dequantisation,
+padding, the multiscale implicit flow, bits/dim loss, Adam, post-step
+Lipschitz power iteration and EMA are one fused jitted step. Example:
+
+  python train_img.py --data cifar10 --actnorm True --nblocks 2-2-2 \
+      --idim 512 --act swish --kernels 3-1-3 --vnorms 2222 --fc-end False \
+      --preact True --coeff 0.9 --n-exact-terms 10 --save experiments/cifar10
+"""
+import argparse
+import math
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from implicit_normalizing_flows_tpu.data.images import (
+    load_dataset,
+    random_crop,
+    random_flip,
+    resize_nearest,
+)
+from implicit_normalizing_flows_tpu.layers import LogitTransform, Normalize
+from implicit_normalizing_flows_tpu.layers.protocol import make_vars
+from implicit_normalizing_flows_tpu.models import ImplicitFlow
+from implicit_normalizing_flows_tpu.training import (
+    adam,
+    adamax,
+    ema_apply,
+    ema_init,
+    linear_warmup,
+    load_checkpoint,
+    rmsprop,
+    save_checkpoint,
+    save_most_recent,
+)
+from implicit_normalizing_flows_tpu.training.loops import make_image_step
+from implicit_normalizing_flows_tpu.utils import RunningAverageMeter, get_logger, makedirs
+
+ACTS = ["softplus", "elu", "swish", "lcube", "identity", "relu", "sin", "zero"]
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", type=str, default="cifar10", choices=[
+        "mnist", "cifar10", "svhn", "celebahq", "celeba_5bit", "imagenet32", "imagenet64"])
+    p.add_argument("--dataroot", type=str, default="data")
+    p.add_argument("--imagesize", type=int, default=32)
+    p.add_argument("--nbits", type=int, default=8)
+    p.add_argument("--coeff", type=float, default=0.98)
+    p.add_argument("--vnorms", type=str, default="2222")
+    p.add_argument("--n-lipschitz-iters", type=int, default=None)
+    p.add_argument("--sn-tol", type=float, default=1e-3)
+    p.add_argument("--learn-p", type=eval, choices=[True, False], default=False)
+    p.add_argument("--n-power-series", type=int, default=None)
+    p.add_argument("--factor-out", type=eval, choices=[True, False], default=False)
+    p.add_argument("--n-dist", choices=["geometric", "poisson"], default="poisson")
+    p.add_argument("--n-samples", type=int, default=1)
+    p.add_argument("--n-exact-terms", type=int, default=2)
+    p.add_argument("--neumann-grad", type=eval, choices=[True, False], default=True)
+    p.add_argument("--mem-eff", type=eval, choices=[True, False], default=True)
+    p.add_argument("--act", type=str, choices=ACTS, default="sin")
+    p.add_argument("--idim", type=int, default=512)
+    p.add_argument("--nblocks", type=str, default="16-16-16")
+    p.add_argument("--squeeze-first", type=eval, default=False, choices=[True, False])
+    p.add_argument("--actnorm", type=eval, default=True, choices=[True, False])
+    p.add_argument("--fc-actnorm", type=eval, default=False, choices=[True, False])
+    p.add_argument("--batchnorm", type=eval, default=False, choices=[True, False])
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--fc", type=eval, default=False, choices=[True, False])
+    p.add_argument("--kernels", type=str, default="3-1-3")
+    p.add_argument("--add-noise", type=eval, choices=[True, False], default=True)
+    p.add_argument("--quadratic", type=eval, choices=[True, False], default=False)
+    p.add_argument("--fc-end", type=eval, choices=[True, False], default=True)
+    p.add_argument("--fc-idim", type=int, default=128)
+    p.add_argument("--preact", type=eval, choices=[True, False], default=False)
+    p.add_argument("--padding", type=int, default=0)
+    p.add_argument("--first-resblock", type=eval, choices=[True, False], default=True)
+    p.add_argument("--cdim", type=int, default=256)
+    p.add_argument("--optimizer", type=str, choices=["adam", "adamax", "rmsprop"], default="adam")
+    p.add_argument("--nepochs", type=int, default=1000)
+    p.add_argument("--batchsize", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--wd", type=float, default=0)
+    p.add_argument("--warmup-iters", type=int, default=1000)
+    p.add_argument("--annealing-iters", type=int, default=0)
+    p.add_argument("--save", type=str, default="experiment1")
+    p.add_argument("--val-batchsize", type=int, default=200)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--ema-val", type=eval, choices=[True, False], default=True)
+    p.add_argument("--task", type=str, choices=["density", "classification", "hybrid"], default="density")
+    p.add_argument("--rcrop-pad-mode", type=str, choices=["constant", "reflect"], default="reflect")
+    p.add_argument("--padding-dist", type=str, choices=["uniform", "gaussian"], default="uniform")
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--begin-epoch", type=int, default=0)
+    p.add_argument("--print-freq", type=int, default=20)
+    p.add_argument("--vis-freq", type=int, default=500)
+    p.add_argument("--synthetic-data", type=eval, choices=[True, False], default=False,
+                   help="right-shaped random data when the dataset is absent (zero-egress image)")
+    p.add_argument("--max-iters-per-epoch", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def dataset_config(args):
+    if args.data == "cifar10":
+        im_dim, n_classes = 3, 10
+        if args.task in ("classification", "hybrid"):
+            init_layer = Normalize((0.4914, 0.4822, 0.4465), (0.2023, 0.1994, 0.2010))
+        else:
+            init_layer = LogitTransform(0.05)
+        nvals = 256
+    elif args.data == "mnist":
+        im_dim, n_classes = 1, 10
+        init_layer = LogitTransform(1e-6)
+        nvals = 256
+    elif args.data == "svhn":
+        im_dim, n_classes = 3, 10
+        init_layer = LogitTransform(0.05)
+        nvals = 256
+    elif args.data == "celebahq":
+        im_dim, n_classes = 3, 1
+        init_layer = LogitTransform(0.05)
+        args.imagesize = 256
+        nvals = 2 ** args.nbits
+    elif args.data == "celeba_5bit":
+        im_dim, n_classes = 3, 1
+        init_layer = LogitTransform(0.05)
+        args.imagesize = 64
+        nvals = 32
+    elif args.data in ("imagenet32", "imagenet64"):
+        im_dim, n_classes = 3, 1000
+        init_layer = LogitTransform(0.05)
+        args.imagesize = 32 if args.data == "imagenet32" else 64
+        nvals = 256
+    else:
+        raise ValueError(args.data)
+    return im_dim, n_classes, init_layer, nvals
+
+
+def build_model(args, im_dim, n_classes, init_layer, batchsize):
+    size = args.imagesize // 2 if args.squeeze_first else args.imagesize
+    c = (im_dim + args.padding) * (4 if args.squeeze_first else 1)
+    input_size = (batchsize, c, size, size)
+    model = ImplicitFlow(
+        input_size=input_size,
+        n_blocks=list(map(int, args.nblocks.split("-"))),
+        intermediate_dim=args.idim,
+        factor_out=args.factor_out,
+        quadratic=args.quadratic,
+        init_layer=init_layer,
+        actnorm=args.actnorm,
+        fc_actnorm=args.fc_actnorm,
+        batchnorm=args.batchnorm,
+        dropout=args.dropout,
+        fc=args.fc,
+        coeff=args.coeff,
+        vnorms=args.vnorms,
+        n_lipschitz_iters=args.n_lipschitz_iters,
+        sn_atol=args.sn_tol,
+        sn_rtol=args.sn_tol,
+        n_power_series=args.n_power_series,
+        n_dist=args.n_dist,
+        n_samples=args.n_samples,
+        kernels=args.kernels,
+        activation_fn=args.act,
+        fc_end=args.fc_end,
+        fc_idim=args.fc_idim,
+        n_exact_terms=args.n_exact_terms,
+        preact=args.preact,
+        neumann_grad=args.neumann_grad,
+        grad_in_forward=args.mem_eff,
+        first_resblock=args.first_resblock,
+        learn_p=args.learn_p,
+        classification=args.task in ("classification", "hybrid"),
+        classification_hdim=args.cdim,
+        n_classes=n_classes,
+    )
+    return model, input_size
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.seed is None:
+        args.seed = np.random.randint(100000)
+    makedirs(args.save)
+    logger = get_logger(os.path.join(args.save, "logs"), os.path.abspath(__file__))
+    logger.info(args)
+    logger.info(f"JAX devices: {jax.devices()}")
+
+    np_rng = np.random.RandomState(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    im_dim, n_classes, init_layer, nvals = dataset_config(args)
+    train_data = load_dataset(args.data, args.dataroot, train=True,
+                              synthetic_fallback=args.synthetic_data)
+    test_data = load_dataset(args.data, args.dataroot, train=False,
+                             synthetic_fallback=args.synthetic_data)
+    logger.info(f"train {len(train_data)} / test {len(test_data)} examples"
+                + (" (SYNTHETIC)" if train_data.synthetic else ""))
+    if train_data.shape[1] != args.imagesize:
+        train_data.x = resize_nearest(train_data.x, args.imagesize)
+        test_data.x = resize_nearest(test_data.x, args.imagesize)
+
+    model, input_size = build_model(args, im_dim, n_classes, init_layer, args.batchsize)
+
+    # init with a real batch (restore pass: train_img.py:502-507)
+    x0_u8, _ = next(train_data.batches(args.batchsize, np_rng))
+    key, k_init, k_batch = jax.random.split(key, 3)
+    x0 = (jnp.asarray(x0_u8).astype(jnp.float32) + 0.5) / nvals
+    if args.padding > 0:
+        pad = jax.random.uniform(k_batch, (x0.shape[0], args.padding) + x0.shape[2:]) / nvals
+        x0 = jnp.concatenate([x0, pad], axis=1)
+    if args.squeeze_first:
+        from implicit_normalizing_flows_tpu.layers.squeeze import squeeze
+        x0 = squeeze(x0)
+    variables = model.init(k_init, x0)
+    variables = model.init_with_batch(variables, x0, rng=k_batch)
+    params, state = variables["params"], variables["state"]
+    n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
+    logger.info(f"Number of trainable parameters: {n_params}")
+
+    lr_schedule = linear_warmup(args.lr, args.warmup_iters)
+    if args.optimizer == "adam":
+        optimizer = adam(lr_schedule, betas=(0.9, 0.99), weight_decay=args.wd, grad_clip=1.0)
+    elif args.optimizer == "adamax":
+        optimizer = adamax(lr_schedule, betas=(0.9, 0.99), weight_decay=args.wd, grad_clip=1.0)
+    else:
+        optimizer = rmsprop(lr_schedule, weight_decay=args.wd, grad_clip=1.0)
+    opt_state = optimizer.init(params)
+    shadow = ema_init(params)
+
+    begin_epoch = args.begin_epoch
+    if args.resume is not None:
+        logger.info(f"Resuming from {args.resume}")
+        ckpt = load_checkpoint(args.resume)
+        params, state = ckpt["params"], ckpt["state"]
+        shadow = ckpt.get("ema", shadow)
+        opt_state = ckpt.get("opt_state", opt_state)
+        begin_epoch = ckpt.get("epoch", begin_epoch)
+
+    step_kwargs = dict(
+        im_dim=im_dim, imagesize=args.imagesize, nvals=nvals, nbits=args.nbits,
+        padding=args.padding, padding_dist=args.padding_dist, task=args.task,
+        add_noise_flag=args.add_noise, squeeze_first=args.squeeze_first,
+        n_lipschitz_iters=args.n_lipschitz_iters, learn_p=args.learn_p,
+    )
+    train_step = make_image_step(model, optimizer, train=True, **step_kwargs)
+    eval_step = make_image_step(model, None, train=False, **step_kwargs)
+
+    meters = {k: RunningAverageMeter(0.97) for k in
+              ("time", "bpd", "logpz", "delta_logp", "gnorm", "ce")}
+
+    best_test_bpd = math.inf
+    last_checkpoints = []
+    global_itr = 0
+    for epoch in range(begin_epoch, args.nepochs):
+        end = time.time()
+        for i, (x_u8, y) in enumerate(train_data.batches(args.batchsize, np_rng)):
+            if args.max_iters_per_epoch and i >= args.max_iters_per_epoch:
+                break
+            if args.task in ("classification", "hybrid") and not train_data.synthetic:
+                x_u8 = random_flip(x_u8, np_rng)
+                x_u8 = random_crop(x_u8, np_rng, 4, args.rcrop_pad_mode)
+            elif args.data == "cifar10" and not train_data.synthetic:
+                x_u8 = random_flip(x_u8, np_rng)
+            beta = min(1.0, global_itr / args.annealing_iters) if args.annealing_iters > 0 else 1.0
+            key, sub = jax.random.split(key)
+            params, state, opt_state, shadow, m = train_step(
+                params, state, opt_state, shadow,
+                jnp.asarray(np.ascontiguousarray(x_u8)), jnp.asarray(y), sub, jnp.asarray(beta)
+            )
+            global_itr += 1
+            meters["time"].update(time.time() - end)
+            end = time.time()
+            if args.task in ("density", "hybrid"):
+                meters["bpd"].update(float(m["bpd"]))
+                meters["logpz"].update(float(m["logpz"]))
+                meters["delta_logp"].update(float(m["delta_logp"]))
+            if args.task in ("classification", "hybrid"):
+                meters["ce"].update(float(m["ce"]))
+            meters["gnorm"].update(float(m["grad_norm"]))
+
+            if i % args.print_freq == 0:
+                s = (f"Epoch: [{epoch}][{i}] | Time {meters['time'].val:.3f} | "
+                     f"GradNorm {meters['gnorm'].avg:.2f}")
+                if args.task in ("density", "hybrid"):
+                    s += (f" | Bits/dim {meters['bpd'].val:.4f}({meters['bpd'].avg:.4f})"
+                          f" | Logpz {meters['logpz'].avg:.0f}"
+                          f" | -DeltaLogp {meters['delta_logp'].avg:.0f}")
+                if args.task in ("classification", "hybrid"):
+                    s += f" | CE {meters['ce'].avg:.4f}"
+                logger.info(s)
+
+        # validation with EMA weights (train_img.py:702-737)
+        eval_params = shadow if args.ema_val else params
+        val_bpd, val_ce, val_correct, val_total = 0.0, 0.0, 0, 0
+        nb = 0
+        for x_u8, y in test_data.batches(args.val_batchsize, None, shuffle=False):
+            key, sub = jax.random.split(key)
+            m = eval_step(eval_params, state, jnp.asarray(x_u8), jnp.asarray(y), sub)
+            if args.task in ("density", "hybrid"):
+                val_bpd += float(m["bpd"])
+            if args.task in ("classification", "hybrid"):
+                val_ce += float(m["ce"])
+                val_correct += float(m["acc"]) * len(y)
+                val_total += len(y)
+            nb += 1
+            if args.max_iters_per_epoch and nb >= args.max_iters_per_epoch:
+                break
+        val_bpd /= max(nb, 1)
+        s = f"Epoch {epoch} | Test bits/dim {val_bpd:.4f}"
+        if val_total:
+            s += f" | CE {val_ce / nb:.4f} | Acc {100 * val_correct / val_total:.2f}"
+        logger.info(s)
+
+        ckpt = {"args": vars(args), "params": params, "state": state,
+                "ema": shadow, "opt_state": opt_state, "epoch": epoch,
+                "test_bpd": val_bpd}
+        if args.task in ("density", "hybrid") and val_bpd < best_test_bpd:
+            best_test_bpd = val_bpd
+            save_checkpoint(ckpt, args.save, epoch, last_checkpoints, 5)
+        save_most_recent(ckpt, args.save)
+
+    logger.info("Training has finished.")
+    return params, state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Tabular density-estimation driver (reference:
+``/root/reference/train_tabular.py``; POWER recipe: ``run_tabular.sh``).
+
+The builder disables neumann-grad / mem-eff so the logged loss is the true
+NLL in nats (``train_tabular.py:330-331``). Example:
+
+  python train_tabular.py --nblocks 20 --vnorms '222222' --dims 128-128-128-128 \
+      --act sin --data power --batchsize 1000 --coeff 0.99 --nepochs 10000 --epsf 1e-5
+"""
+import argparse
+import math
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from implicit_normalizing_flows_tpu.data.tabular import batch_iterator, get_tabular_datasets
+from implicit_normalizing_flows_tpu.models import build_tabular_model
+from implicit_normalizing_flows_tpu.training import (
+    adam,
+    adamax,
+    ema_init,
+    linear_warmup,
+    load_checkpoint,
+    make_density_eval_step,
+    make_density_train_step,
+    rmsprop,
+    save_most_recent,
+)
+from implicit_normalizing_flows_tpu.layers.protocol import make_vars
+from implicit_normalizing_flows_tpu.utils import RunningAverageMeter, get_logger, makedirs
+
+ACTS = ["identity", "relu", "tanh", "elu", "selu", "fullsort", "maxmin", "swish", "lcube", "sin", "zero"]
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", type=str, default="gas",
+                   choices=["miniboone", "gas", "hepmass", "power", "bsds300"])
+    p.add_argument("--dataroot", type=str, default="data")
+    p.add_argument("--coeff", type=float, default=0.9)
+    p.add_argument("--vnorms", type=str, default="222222")
+    p.add_argument("--n-lipschitz-iters", type=int, default=None)
+    p.add_argument("--sn-tol", type=float, default=1e-3)
+    p.add_argument("--epsf", type=float, default=1e-6)
+    p.add_argument("--n-power-series", type=int, default=None)
+    p.add_argument("--n-dist", choices=["geometric", "poisson"], default="geometric")
+    p.add_argument("--n-samples", type=int, default=1)
+    p.add_argument("--n-exact-terms", type=int, default=2)
+    p.add_argument("--brute-force", type=eval, choices=[True, False], default=False)
+    p.add_argument("--act", type=str, choices=ACTS, default="swish")
+    p.add_argument("--dims", type=str, default="128-128-128-128")
+    p.add_argument("--nblocks", type=int, default=5)
+    p.add_argument("--optimizer", type=str, choices=["adam", "adamax", "rmsprop"], default="adam")
+    p.add_argument("--nepochs", type=int, default=1000)
+    p.add_argument("--batchsize", type=int, default=1000)
+    p.add_argument("--val-batchsize", type=int, default=4000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--wd", type=float, default=0)
+    p.add_argument("--warmup-iters", type=int, default=1000)
+    p.add_argument("--annealing-iters", type=int, default=0)
+    p.add_argument("--save", type=str, default="experiments/tabular")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--print-freq", type=int, default=10)
+    p.add_argument("--synthetic-data", type=eval, choices=[True, False], default=False)
+    p.add_argument("--max-iters-per-epoch", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    makedirs(args.save)
+    logger = get_logger(os.path.join(args.save, "logs"), os.path.abspath(__file__))
+    logger.info(args)
+
+    np_rng = np.random.RandomState(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    train_x, valid_x, test_x = get_tabular_datasets(
+        args.data, args.dataroot, synthetic_fallback=args.synthetic_data)
+    data_dim = train_x.shape[1]
+    logger.info(f"{args.data}: dim={data_dim}, train={len(train_x)}, "
+                f"valid={len(valid_x)}, test={len(test_x)}")
+
+    model = build_tabular_model(
+        data_dim, dims=args.dims, nblocks=args.nblocks, act=args.act,
+        coeff=args.coeff, vnorms=args.vnorms,
+        n_lipschitz_iters=args.n_lipschitz_iters, atol=args.sn_tol,
+        rtol=args.sn_tol, brute_force=args.brute_force,
+        n_power_series=args.n_power_series, n_samples=args.n_samples,
+        n_dist=args.n_dist, eps_forward=args.epsf,
+    )
+
+    x0 = jnp.asarray(train_x[:args.batchsize])
+    key, k_init = jax.random.split(key)
+    variables = model.init(k_init, x0)
+    variables = model.init_with_batch(variables, x0)
+    params, state = variables["params"], variables["state"]
+    n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
+    logger.info(f"Number of trainable parameters: {n_params}")
+
+    if args.resume is not None:
+        ckpt = load_checkpoint(args.resume)
+        params, state = ckpt["params"], ckpt["state"]
+
+    lr_schedule = linear_warmup(args.lr, args.warmup_iters)
+    opt_fns = {"adam": adam, "adamax": adamax, "rmsprop": rmsprop}
+    optimizer = opt_fns[args.optimizer](lr_schedule, weight_decay=args.wd, grad_clip=1.0)
+    opt_state = optimizer.init(params)
+    shadow = ema_init(params)
+
+    train_step = make_density_train_step(model, optimizer,
+                                         n_lipschitz_iters=args.n_lipschitz_iters)
+    eval_step = make_density_eval_step(model)
+
+    meters = {k: RunningAverageMeter(0.97) for k in ("time", "nll", "logpz", "delta")}
+    best_val = math.inf
+    global_itr = 0
+    for epoch in range(args.nepochs):
+        end = time.time()
+        for i, xb in enumerate(batch_iterator(train_x, args.batchsize, np_rng)):
+            if args.max_iters_per_epoch and i >= args.max_iters_per_epoch:
+                break
+            beta = min(1.0, global_itr / args.annealing_iters) if args.annealing_iters > 0 else 1.0
+            key, sub = jax.random.split(key)
+            params, state, opt_state, shadow, m = train_step(
+                params, state, opt_state, shadow, jnp.asarray(xb), sub, jnp.asarray(beta))
+            global_itr += 1
+            meters["time"].update(time.time() - end)
+            end = time.time()
+            meters["nll"].update(float(m["loss"]))
+            meters["logpz"].update(float(m["logpz"]))
+            meters["delta"].update(float(m["delta_logp"]))
+            if i % args.print_freq == 0:
+                logger.info(
+                    f"Epoch [{epoch}][{i}] | Time {meters['time'].val:.3f} | "
+                    f"NLL {meters['nll'].val:.4f}({meters['nll'].avg:.4f}) | "
+                    f"Logpz {meters['logpz'].avg:.2f} | -DeltaLogp {meters['delta'].avg:.2f}")
+
+        # validate with EMA params on the validation split
+        val_nll, nb = 0.0, 0
+        for xb in batch_iterator(valid_x, args.val_batchsize, np_rng, shuffle=False, drop_last=False):
+            key, sub = jax.random.split(key)
+            loss, _, _ = eval_step(shadow, state, jnp.asarray(xb), sub)
+            val_nll += float(loss) * len(xb)
+            nb += len(xb)
+        val_nll /= max(nb, 1)
+        logger.info(f"Epoch {epoch} | Val NLL {val_nll:.4f}")
+        if val_nll < best_val:
+            best_val = val_nll
+            test_nll, nb = 0.0, 0
+            for xb in batch_iterator(test_x, args.val_batchsize, np_rng, shuffle=False, drop_last=False):
+                key, sub = jax.random.split(key)
+                loss, _, _ = eval_step(shadow, state, jnp.asarray(xb), sub)
+                test_nll += float(loss) * len(xb)
+                nb += len(xb)
+            logger.info(f"Epoch {epoch} | Test NLL {test_nll / max(nb, 1):.4f} (best val)")
+            save_most_recent({"args": vars(args), "params": params, "state": state,
+                              "ema": shadow, "val_nll": val_nll}, args.save)
+
+    logger.info("Training has finished.")
+    return params, state
+
+
+if __name__ == "__main__":
+    main()
