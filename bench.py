@@ -32,6 +32,8 @@ def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from implicit_normalizing_flows_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     from implicit_normalizing_flows_tpu.training import adam, ema_init, linear_warmup
     from implicit_normalizing_flows_tpu.training.loops import make_image_step
     from __graft_entry__ import _build

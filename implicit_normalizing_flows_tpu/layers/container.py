@@ -29,8 +29,14 @@ class SequentialFlow(Flow):
             v = layer.init(fold_rng(rng, i), x)
             params.append(v["params"])
             states.append(v["state"])
-            x, _, _ = layer.forward(v, x, None, rng=fold_rng(rng, 10_000 + i))
+            x = layer.init_forward(v, x, rng=fold_rng(rng, 10_000 + i))
         return make_vars(params, states)
+
+    def init_forward(self, variables, x, rng=None):
+        for i, layer in enumerate(self.chain):
+            x = layer.init_forward(self.child_vars(variables, i), x,
+                                   rng=fold_rng(rng, i))
+        return x
 
     def init_with_batch(self, variables, x, rng=None):
         """Run children in order, letting each see the activations produced by

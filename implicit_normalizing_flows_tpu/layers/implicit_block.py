@@ -75,28 +75,39 @@ def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
         x_embed = flat(apply_x(vx, x)) + flat(x)
         g = lambda zf: x_embed - flat(apply_z(vz, unflat(zf))) - zf
         banach_g = lambda zf: x_embed - flat(apply_z(vz, unflat(zf)))
-        zf, _ = root_solve(
+        zf, res = root_solve(
             g, banach_g, jnp.zeros_like(flat(x)),
             threshold=cfg.threshold, eps=cfg.eps_forward,
             banach_x0=flat(jax.lax.stop_gradient(x)),
             banach_threshold=cfg.banach_threshold,
         )
-        return unflat(zf)
+        # First-class solver telemetry (BASELINE.md: Broyden iters-to-converge
+        # tracked as a metric; reference only surfaces it on failure,
+        # broyden.py:165-172): [nstep, mean converged, any prot_break].
+        diag = jnp.stack([
+            res.nstep.astype(jnp.float32),
+            jnp.mean(res.converged.astype(jnp.float32)),
+            jnp.any(res.prot_break).astype(jnp.float32),
+        ])
+        return unflat(zf), diag
 
     @jax.custom_vjp
     def implicit_forward(vars_x, vars_z, x):
-        z_hat = jax.lax.stop_gradient(solve_z(vars_x, vars_z, x))
+        z_hat, diag = solve_z(vars_x, vars_z, x)
+        z_hat = jax.lax.stop_gradient(z_hat)
         # Re-attachment (implicit_block.py:227). Primal value == z_hat up to
         # solver tolerance; under custom_vjp this expression is not itself
         # differentiated — bwd below reproduces its exact gradient paths.
-        return x + apply_x(vars_x, x) - apply_z(vars_z, z_hat)
+        return x + apply_x(vars_x, x) - apply_z(vars_z, z_hat), diag
 
     def fwd(vars_x, vars_z, x):
-        z_hat = jax.lax.stop_gradient(solve_z(vars_x, vars_z, x))
+        z_hat, diag = solve_z(vars_x, vars_z, x)
+        z_hat = jax.lax.stop_gradient(z_hat)
         z = x + apply_x(_sg(vars_x), x) - apply_z(_sg(vars_z), z_hat)
-        return z, (vars_x, vars_z, x, z_hat, z)
+        return (z, diag), (vars_x, vars_z, x, z_hat, z)
 
-    def bwd(res, grad):
+    def bwd(res, grads):
+        grad, _ = grads  # diag cotangent is symbolically zero
         vars_x, vars_z, x, z_hat, z = res
         B = x.shape[0]
         flat = lambda a: a.reshape(B, -1)
@@ -196,20 +207,29 @@ class ImplicitBlock(Flow):
             "last_n_samples": jnp.zeros((self.logdet_cfg.n_samples,), jnp.float32),
             "last_firmom": jnp.zeros((1,), jnp.float32),
             "last_secmom": jnp.zeros((1,), jnp.float32),
+            # [forward nstep, converged fraction, prot_break hit]
+            "solver_diag": jnp.zeros((3,), jnp.float32),
         }
         return make_vars(params, state)
 
     def _net_vars(self, variables, name):
         return {"params": variables["params"][name], "state": variables["state"][name]}
 
+    def init_forward(self, variables, x, rng=None):
+        # z has x's shape; skip the fixed-point solve during param init.
+        return x
+
     # ---- flow protocol ----
     def forward(self, variables, x, logpx=None, *, rng=None, train=False):
         vx = self._net_vars(variables, "nnet_x")
         vz = self._net_vars(variables, "nnet_z")
-        z = self._implicit_forward(vx, vz, x)
+        z, diag = self._implicit_forward(vx, vz, x)
+        diag = jax.lax.stop_gradient(diag)
         if logpx is None:
-            return z, None, variables["state"]
+            state = dict(variables["state"], solver_diag=diag)
+            return z, None, state
         logdet, new_state = self._logdetgrad(variables, z, x, rng, train)
+        new_state = dict(new_state, solver_diag=diag)
         return z, logpx - logdet, new_state
 
     def inverse(self, variables, z, logpz=None, *, rng=None):

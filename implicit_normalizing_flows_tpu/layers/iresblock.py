@@ -67,6 +67,10 @@ class IResBlock(Flow):
     def _net_vars(self, variables):
         return {"params": variables["params"]["nnet"], "state": variables["state"]["nnet"]}
 
+    def init_forward(self, variables, x, rng=None):
+        # y = x + g(x) has x's shape; skip the net eval during param init.
+        return x
+
     def forward(self, variables, x, logpx=None, *, rng=None, train=False):
         v = self._net_vars(variables)
         g = self.nnet.apply(v, x, rng=rng, train=train)

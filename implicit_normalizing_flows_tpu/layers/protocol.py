@@ -56,6 +56,15 @@ class Flow:
         """Returns (x, logpx)."""
         raise NotImplementedError
 
+    def init_forward(self, variables, x, rng=None):
+        """Shape/value threading during parameter init. Default runs the real
+        forward; shape-preserving solver blocks override this to skip the
+        (expensive, value-irrelevant) fixed-point solve — parameter init only
+        consumes shapes, and the reference's data-dependent init happens in
+        the separate ``init_with_batch`` restore pass."""
+        y, _, _ = self.forward(variables, x, None, rng=rng)
+        return y
+
     # ---- out-of-band maintenance ----
     def update_lipschitz(self, variables: Variables, n_iterations=None) -> Variables:
         """Re-run power iteration into fresh state; default: no-op."""

@@ -404,7 +404,7 @@ class ImplicitFlow:
             v = t.init(fold_rng(rng, i), x)
             params.append(v["params"])
             states.append(v["state"])
-            x, _, _ = t.forward(v, x, None, rng=fold_rng(rng, 5_000 + i))
+            x = t.init_forward(v, x, rng=fold_rng(rng, 5_000 + i))
             if self.factor_out and i < len(self.transforms) - 1:
                 d = x.shape[1] // 2
                 x, f = x[:, :d], x[:, d:]

@@ -170,21 +170,31 @@ def broyden(
         active = s.active & (obj >= eps_i) & ~bad
 
         # Rank-1 secant update appended at column nstep-1 (broyden.py:174-181).
-        vT = _rmatvec(s.Us, s.VTs, delta_x)
+        # The three low-rank contractions are batched so U and V stream from
+        # HBM only twice per iteration: VT@[delta_gx, gx] in one pass, then
+        # U@(that) in one pass; the post-update direction uses the rank-1
+        # identity  matvec(U', V', g) = matvec(U, V, g) + u (vT . g)  instead
+        # of re-reading the updated factors (broyden.py:181 re-contracts).
+        rhs = jnp.stack([delta_gx, gx_new], axis=-1)          # (B, D, 2)
+        VTX = jnp.einsum("bkd,bdr->bkr", s.VTs, rhs, precision=_PREC)
+        UVX = jnp.einsum("bdk,bkr->bdr", s.Us, VTX, precision=_PREC)
+        matvec_dgx = -delta_gx + UVX[..., 0]
+        matvec_gx = -gx_new + UVX[..., 1]
+
+        xTU = jnp.einsum("bd,bdk->bk", delta_x, s.Us, precision=_PREC)
+        vT = -delta_x + jnp.einsum("bk,bkd->bd", xTU, s.VTs, precision=_PREC)
         denom = jnp.einsum("bd,bd->b", vT, delta_gx)[:, None]
-        u = (delta_x - _matvec(s.Us, s.VTs, delta_gx)) / denom
+        u = (delta_x - matvec_dgx) / denom
         # NaN scrub (reference broyden.py:177-178); also scrub inf from a
         # zero denominator so frozen rows can never poison the factors.
         vT = jnp.where(jnp.isfinite(vT), vT, 0.0)
         u = jnp.where(jnp.isfinite(u), u, 0.0)
+        u = jnp.where(act, u, 0.0)
+        vT = jnp.where(act, vT, 0.0)
         col = (nstep - 1) % threshold
-        Us = jax.lax.dynamic_update_index_in_dim(
-            s.Us, jnp.where(act, u, 0.0), col, axis=2
-        )
-        VTs = jax.lax.dynamic_update_index_in_dim(
-            s.VTs, jnp.where(act, vT, 0.0), col, axis=1
-        )
-        update = -_matvec(Us, VTs, gx_new)
+        Us = jax.lax.dynamic_update_index_in_dim(s.Us, u, col, axis=2)
+        VTs = jax.lax.dynamic_update_index_in_dim(s.VTs, vT, col, axis=1)
+        update = -matvec_gx - u * jnp.einsum("bd,bd->b", vT, gx_new)[:, None]
 
         trace = (
             jax.lax.dynamic_update_index_in_dim(s.trace, obj, nstep, axis=0)

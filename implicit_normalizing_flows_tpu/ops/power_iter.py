@@ -122,18 +122,42 @@ def _run_power_iteration(step, u, v, n_iterations, atol, rtol):
     return PowerIterResult(u, v, i)
 
 
-def induced_norm_dense(
-    weight, u, v, domain, codomain, n_iterations=None, atol=None, rtol=None
-):
-    """Power-iterate ``u = N_u(W v); v = N_v(W^T u)`` for a dense weight
-    (mixed_lipschitz.py:103-124). Runs without gradient; call
-    ``dense_sigma`` afterwards for the differentiable norm estimate."""
+def _static_orders(domain, codomain):
+    """True when both orders are static Python numbers (hashable -> jittable
+    with a shared cache entry across layers)."""
+    return not isinstance(domain, jax.Array) and not isinstance(codomain, jax.Array)
+
+
+@partial(jax.jit, static_argnames=("domain", "codomain", "n_iterations", "atol", "rtol"))
+def _induced_norm_dense_jit(weight, u, v, *, domain, codomain, n_iterations, atol, rtol):
+    return _induced_norm_dense_impl(weight, u, v, domain, codomain, n_iterations, atol, rtol)
+
+
+def _induced_norm_dense_impl(weight, u, v, domain, codomain, n_iterations, atol, rtol):
     def step(u, v):
         u2 = normalize_u(weight @ v, codomain)
         v2 = normalize_v(weight.T @ u2, domain)
         return u2, v2
 
     return _run_power_iteration(step, u, v, n_iterations, atol, rtol)
+
+
+def induced_norm_dense(
+    weight, u, v, domain, codomain, n_iterations=None, atol=None, rtol=None
+):
+    """Power-iterate ``u = N_u(W v); v = N_v(W^T u)`` for a dense weight
+    (mixed_lipschitz.py:103-124). Runs without gradient; call
+    ``dense_sigma`` afterwards for the differentiable norm estimate.
+
+    Dispatched through a module-level jit (static orders/budgets) so repeated
+    layer inits/updates with the same shapes share ONE compiled program —
+    eager per-layer tracing through the TPU tunnel is orders of magnitude
+    slower than the iteration itself."""
+    if _static_orders(domain, codomain):
+        return _induced_norm_dense_jit(
+            weight, u, v, domain=domain, codomain=codomain,
+            n_iterations=n_iterations, atol=atol, rtol=rtol)
+    return _induced_norm_dense_impl(weight, u, v, domain, codomain, n_iterations, atol, rtol)
 
 
 def dense_sigma(weight, u, v):
@@ -168,14 +192,16 @@ def conv_transpose_apply(weight, y, x_shape, stride, padding):
     return vjp(y)[0]
 
 
-def induced_norm_conv(
-    weight, u, v, x_shape, out_shape, domain, codomain,
-    stride=(1, 1), padding=(0, 0), n_iterations=None, atol=None, rtol=None,
-):
-    """Power iteration for a kxk conv treated as one big linear operator
-    (mixed_lipschitz.py:328-376). ``u``/``v`` are flat vectors over the full
-    output/input feature maps; shapes are static (captured at layer init — no
-    lazy ``spatial_dims`` buffers needed on the functional side)."""
+@partial(jax.jit, static_argnames=("x_shape", "out_shape", "domain", "codomain",
+                                   "stride", "padding", "n_iterations", "atol", "rtol"))
+def _induced_norm_conv_jit(weight, u, v, *, x_shape, out_shape, domain, codomain,
+                           stride, padding, n_iterations, atol, rtol):
+    return _induced_norm_conv_impl(weight, u, v, x_shape, out_shape, domain,
+                                   codomain, stride, padding, n_iterations, atol, rtol)
+
+
+def _induced_norm_conv_impl(weight, u, v, x_shape, out_shape, domain, codomain,
+                            stride, padding, n_iterations, atol, rtol):
     def step(u, v):
         u_s = conv_apply(weight, v.reshape(x_shape), stride, padding)
         u2 = normalize_u(u_s.reshape(-1), codomain)
@@ -184,6 +210,24 @@ def induced_norm_conv(
         return u2, v2
 
     return _run_power_iteration(step, u, v, n_iterations, atol, rtol)
+
+
+def induced_norm_conv(
+    weight, u, v, x_shape, out_shape, domain, codomain,
+    stride=(1, 1), padding=(0, 0), n_iterations=None, atol=None, rtol=None,
+):
+    """Power iteration for a kxk conv treated as one big linear operator
+    (mixed_lipschitz.py:328-376). ``u``/``v`` are flat vectors over the full
+    output/input feature maps; shapes are static (captured at layer init — no
+    lazy ``spatial_dims`` buffers needed on the functional side). Dispatched
+    through a shared module-level jit (see induced_norm_dense)."""
+    if _static_orders(domain, codomain):
+        return _induced_norm_conv_jit(
+            weight, u, v, x_shape=tuple(x_shape), out_shape=tuple(out_shape),
+            domain=domain, codomain=codomain, stride=tuple(stride),
+            padding=tuple(padding), n_iterations=n_iterations, atol=atol, rtol=rtol)
+    return _induced_norm_conv_impl(weight, u, v, x_shape, out_shape, domain,
+                                   codomain, stride, padding, n_iterations, atol, rtol)
 
 
 def conv_sigma(weight, u, v, x_shape, stride=(1, 1), padding=(0, 0)):
@@ -203,6 +247,7 @@ def conv_one_iter_sigma(weight, u, v, x_shape, out_shape, domain, codomain,
     return jnp.dot(u.reshape(-1), wv.reshape(-1))
 
 
+@partial(jax.jit, static_argnames=("n_iterations", "atol", "rtol"))
 def spectral_norm_dense(weight, u, v, n_iterations=None, atol=None, rtol=None):
     """Classic l2 power iteration (lipschitz.py:60-83); note the reference
     updates ``v`` before ``u`` here, opposite of the induced-norm order."""
@@ -214,6 +259,8 @@ def spectral_norm_dense(weight, u, v, n_iterations=None, atol=None, rtol=None):
     return _run_power_iteration(step, u, v, n_iterations, atol, rtol)
 
 
+@partial(jax.jit, static_argnames=("x_shape", "out_shape", "stride", "padding",
+                                   "n_iterations", "atol", "rtol"))
 def spectral_norm_conv(weight, u, v, x_shape, out_shape,
                        stride=(1, 1), padding=(0, 0),
                        n_iterations=None, atol=None, rtol=None):

@@ -16,6 +16,34 @@ from ..layers.protocol import make_vars
 from .ema import ema_apply
 
 
+def solver_stats(state):
+    """Aggregate per-block Broyden telemetry stored by the implicit blocks
+    (state['solver_diag'] = [nstep, converged fraction, prot_break]) into
+    step metrics — the first-class iters-to-converge metric BASELINE.md asks
+    for."""
+    diags = []
+
+    def visit(s):
+        if isinstance(s, dict):
+            if "solver_diag" in s:
+                diags.append(s["solver_diag"])
+            for v in s.values():
+                visit(v)
+        elif isinstance(s, (list, tuple)):
+            for v in s:
+                visit(v)
+
+    visit(state)
+    if not diags:
+        return {}
+    d = jnp.stack(diags)
+    return {
+        "broyden_nstep": jnp.mean(d[:, 0]),
+        "broyden_converged": jnp.mean(d[:, 1]),
+        "broyden_prot_break": jnp.max(d[:, 2]),
+    }
+
+
 def standard_normal_logprob(z):
     """Per-example sum log N(z; 0, I) (train_toy.py:100-102)."""
     logZ = -0.5 * math.log(2 * math.pi)
@@ -58,6 +86,7 @@ def make_density_train_step(model, optimizer, *, n_lipschitz_iters=None,
             "delta_logp": neg_delta,
             "grad_norm": optax.global_norm(grads),
         }
+        metrics.update(solver_stats(new_state))
         return params, new_state, opt_state, ema_shadow, metrics
 
     if mesh is not None:
@@ -219,6 +248,7 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
             v = model.update_lipschitz(make_vars(params, new_state), n_lipschitz_iters)
             params, new_state = v["params"], v["state"]
             ema_shadow = ema_apply(ema_shadow, params, ema_decay)
+            metrics.update(solver_stats(new_state))
             return params, new_state, new_opt_state, ema_shadow, metrics
         step = train_step
 

@@ -1,2 +1,3 @@
 from .meters import AverageMeter, RunningAverageMeter  # noqa: F401
 from .logging import get_logger, makedirs  # noqa: F401
+from .compile_cache import enable_compilation_cache  # noqa: F401

@@ -184,6 +184,33 @@ def build_model(args, im_dim, n_classes, init_layer, batchsize):
     return model, input_size
 
 
+def visualize(model, variables, x_u8, nvals, padding, save_dir, tag, key,
+              n_show=8):
+    """Real / reconstructed / sampled image rows (train_img.py:739-771); the
+    recon row is the inverse-of-forward round trip the reference uses as a
+    living correctness check (train_img.py:756)."""
+    import jax.numpy as jnp
+    from implicit_normalizing_flows_tpu.training.loops import add_padding, dequantize
+    from qualitative_samples import save_grid
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = dequantize(jnp.asarray(x_u8[:n_show]), k1, nvals=nvals)
+    xpad, _ = add_padding(x, k2, padding, nvals=nvals)
+    z, _, _ = model.forward(variables, xpad, None, rng=k3)
+    recon, _ = model.inverse(variables, z, None, rng=k3)
+    dim = sum(int(np.prod(d)) for d in model.dims)
+    z_rand = jax.random.normal(k3, (n_show, dim))
+    samples, _ = model.inverse(variables, z_rand, None, rng=k3)
+    im_dim = x.shape[1]
+    rows = np.concatenate([
+        np.asarray(x),
+        np.asarray(recon)[:, :im_dim],
+        np.asarray(samples)[:, :im_dim],
+    ])
+    os.makedirs(os.path.join(save_dir, "imgs"), exist_ok=True)
+    save_grid(rows, os.path.join(save_dir, "imgs", f"{tag}.png"), nrow=n_show)
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.seed is None:
@@ -295,7 +322,16 @@ def main(argv=None):
                           f" | -DeltaLogp {meters['delta_logp'].avg:.0f}")
                 if args.task in ("classification", "hybrid"):
                     s += f" | CE {meters['ce'].avg:.4f}"
+                if "broyden_nstep" in m:
+                    s += (f" | BroydenIters {float(m['broyden_nstep']):.1f}"
+                          f" | Converged {float(m['broyden_converged']):.2f}")
                 logger.info(s)
+            if args.vis_freq and global_itr % args.vis_freq == 0 and args.task != "classification":
+                try:
+                    visualize(model, make_vars(params, state), x_u8, nvals,
+                              args.padding, args.save, f"e{epoch:03d}i{i:05d}", sub)
+                except Exception as e:
+                    logger.info(f"viz failed: {e}")
 
         # validation with EMA weights (train_img.py:702-737)
         eval_params = shadow if args.ema_val else params
