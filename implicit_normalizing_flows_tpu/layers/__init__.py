@@ -29,6 +29,8 @@ from .activations import (  # noqa: F401
 from .lipschitz import (  # noqa: F401
     InducedNormConv,
     InducedNormDense,
+    LipNormConv,
+    LipNormDense,
     LopConv,
     LopDense,
     SpectralNormConv,

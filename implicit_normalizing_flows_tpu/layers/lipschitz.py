@@ -416,6 +416,84 @@ class LopConv(_LipschitzBase):
         return make_vars(variables["params"], {"sigma": sigma})
 
 
+class LipNormDense(LopDense):
+    """Sigma as a learnable parameter through a sigmoid gate
+    (lipschitz.py:369-411; NOT routed by the factories — kept for parity).
+    weight_hat = W / scale(W) * sigmoid(s) * coeff."""
+
+    def init(self, rng, x=None):
+        v = super().init(rng, x)
+        w_scale = pi.norm_except_dim(v["params"]["weight"], self.norm_type,
+                                     dim=self.max_across_dim)
+        if not self.local_constraint:
+            w_scale = jnp.max(w_scale)
+        v["params"]["scale"] = _logit_clamped(w_scale / self.coeff)
+        return v
+
+    def _normalized_weight(self, w, scale_param=None):
+        w_scale = pi.norm_except_dim(w, self.norm_type, dim=self.max_across_dim)
+        if not self.local_constraint:
+            w_scale = jnp.max(w_scale)
+        return w / w_scale * jax.nn.sigmoid(scale_param) * self.coeff, jnp.max(w_scale)
+
+    def apply(self, variables, x, *, rng=None, train=False, domain=None, codomain=None):
+        w, _ = self._normalized_weight(variables["params"]["weight"],
+                                       variables["params"]["scale"])
+        y = x @ w.T
+        if self.use_bias:
+            y = y + variables["params"]["bias"]
+        return y
+
+    def update_lipschitz(self, variables, n_iterations=None, domain=None, codomain=None):
+        _, sigma = self._normalized_weight(
+            jax.lax.stop_gradient(variables["params"]["weight"]),
+            jax.lax.stop_gradient(variables["params"]["scale"]))
+        return make_vars(variables["params"], {"sigma": sigma})
+
+
+class LipNormConv(LopConv):
+    """Conv variant of LipNormDense (lipschitz.py:414-459)."""
+
+    def init(self, rng, x=None):
+        v = super().init(rng, x)
+        w_scale = pi.norm_except_dim(v["params"]["weight"], self.norm_type,
+                                     dim=self.max_across_dim)
+        if not self.local_constraint:
+            w_scale = jnp.max(w_scale)
+        v["params"]["scale"] = _logit_clamped(w_scale / self.coeff)
+        return v
+
+    def _normalized_weight(self, w, scale_param=None):
+        w_scale = pi.norm_except_dim(w, self.norm_type, dim=self.max_across_dim)
+        if not self.local_constraint:
+            w_scale = jnp.max(w_scale)
+        # NB the reference conv variant omits the *coeff factor
+        # (lipschitz.py:449 vs :401) — reproduced as-is.
+        return w / w_scale * jax.nn.sigmoid(scale_param), jnp.max(w_scale)
+
+    def apply(self, variables, x, *, rng=None, train=False, domain=None, codomain=None):
+        w, _ = self._normalized_weight(variables["params"]["weight"],
+                                       variables["params"]["scale"])
+        y = pi.conv_apply(w, x, self.stride, self.padding)
+        if self.use_bias:
+            y = y + variables["params"]["bias"][None, :, None, None]
+        return y
+
+    def update_lipschitz(self, variables, n_iterations=None, domain=None, codomain=None):
+        _, sigma = self._normalized_weight(
+            jax.lax.stop_gradient(variables["params"]["weight"]),
+            jax.lax.stop_gradient(variables["params"]["scale"]))
+        return make_vars(variables["params"], {"sigma": sigma})
+
+
+def _logit_clamped(p):
+    """log(p) + log(1-p) after clamping to [0.1, 0.9] — the reference's odd
+    _logit (lipschitz.py:462-464; note it is log(p)+log(1-p), not log(p/(1-p)),
+    reproduced as-is for parity)."""
+    p = jnp.clip(p, 0.1, 0.9)
+    return jnp.log(p + 1e-10) + jnp.log(1 - p + 1e-10)
+
+
 def get_dense(in_features, out_features, bias=True, coeff=0.97, domain=None,
               codomain=None, **kwargs):
     """Factory routing (lipschitz.py:510-518): InducedNorm by default; Lop for

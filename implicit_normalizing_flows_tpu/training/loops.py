@@ -6,11 +6,26 @@ host-driven phases)."""
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import optax
+
+
+def _donate_args(nums):
+    """Buffer donation for the step state. Disabled by default on the axon
+    tunnel backend (donated executions fail with InvalidArgument there);
+    IMNF_DONATE=1 forces on, IMNF_DONATE=0 forces off."""
+    flag = os.environ.get("IMNF_DONATE")
+    if flag is not None:
+        return nums if flag == "1" else ()
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return nums if platform in ("tpu", "gpu") else ()
 
 from ..layers.protocol import make_vars
 from .ema import ema_apply
@@ -98,8 +113,11 @@ def make_density_train_step(model, optimizer, *, n_lipschitz_iters=None,
             step,
             in_shardings=(rep, rep, rep, rep, xs, rep, rep),
             out_shardings=(rep, rep, rep, rep, rep),
+            donate_argnums=_donate_args((0, 1, 2, 3)),
         )
-    return jax.jit(step)
+    # params/state/opt_state/EMA are consumed and rebound every step — donate
+    # their buffers so XLA updates in place instead of copying.
+    return jax.jit(step, donate_argnums=_donate_args((0, 1, 2, 3)))
 
 
 def make_density_eval_step(model, *, mesh=None, in_shardings=None):
@@ -260,5 +278,8 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
         ys = batch_sharding(mesh, 1)
         if optimizer is None:
             return jax.jit(step, in_shardings=(rep, rep, xs, ys, rep))
-        return jax.jit(step, in_shardings=(rep, rep, rep, rep, xs, ys, rep, rep))
-    return jax.jit(step)
+        return jax.jit(step, in_shardings=(rep, rep, rep, rep, xs, ys, rep, rep),
+                       donate_argnums=_donate_args((0, 1, 2, 3)))
+    if optimizer is None:
+        return jax.jit(step)
+    return jax.jit(step, donate_argnums=_donate_args((0, 1, 2, 3)))
