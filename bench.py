@@ -47,8 +47,10 @@ def main():
                    coeff=0.9, fc_end=False, n_lip_iters=5)
     x0 = jax.random.uniform(jax.random.PRNGKey(0), (batch, 3, size, size),
                             minval=0.05, maxval=0.95)
-    variables = model.init(jax.random.PRNGKey(1), x0)
-    variables = model.init_with_batch(variables, x0, rng=jax.random.PRNGKey(2))
+    # Whole init as ONE jitted program: the tunnel backend charges a slow
+    # (occasionally hung) RPC per dispatched program, so minimise programs.
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), x0)
+    variables = jax.jit(model.init_with_batch)(variables, x0, rng=jax.random.PRNGKey(2))
     params, state = variables["params"], variables["state"]
 
     optimizer = adam(linear_warmup(1e-3, 1000), betas=(0.9, 0.99), grad_clip=1.0)

@@ -193,7 +193,7 @@ class InducedNormConv(_LipschitzBase):
     def _u_v_sizes(self):
         if self.is_1x1:
             return self.out_channels, self.in_channels
-        return int(jnp.prod(jnp.array(self.out_shape))), int(jnp.prod(jnp.array(self.x_shape)))
+        return int(math.prod(self.out_shape)), int(math.prod(self.x_shape))
 
     def init(self, rng, x=None):
         kw, kb, ku, kv, kr = jax.random.split(rng, 5)

@@ -33,6 +33,7 @@ Design differences from the reference (deliberate, TPU-first — SURVEY.md §7):
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple
 
 import jax
@@ -127,6 +128,17 @@ def broyden(
     trace_buf = jnp.zeros((threshold + 1, bsz), dtype=dtype)
     trace_buf = trace_buf.at[0].set(init_obj) if keep_trace else trace_buf
 
+    # Optional Pallas fused rank-1 update (ops/pallas_kernels.py): one VMEM
+    # pass over the U/V panels per iteration. Opt-in (IMNF_PALLAS=1) while the
+    # XLA path remains the portable default.
+    use_fused = False
+    fused_interpret = False
+    if os.environ.get("IMNF_PALLAS") == "1":
+        from .pallas_kernels import fused_update_supported
+
+        use_fused = fused_update_supported(bsz, total, threshold)
+        fused_interpret = jax.default_backend() == "cpu"  # Mosaic is TPU-only
+
     state = _State(
         x_est=x_est,
         gx=gx,
@@ -170,6 +182,23 @@ def broyden(
         active = s.active & (obj >= eps_i) & ~bad
 
         # Rank-1 secant update appended at column nstep-1 (broyden.py:174-181).
+        col = (nstep - 1) % threshold
+        if use_fused:
+            from .pallas_kernels import fused_broyden_update
+
+            Us, VTs, update = fused_broyden_update(
+                s.Us, s.VTs, delta_x, delta_gx, gx_new, s.active, col,
+                interpret=fused_interpret)
+            trace = (
+                jax.lax.dynamic_update_index_in_dim(s.trace, obj, nstep, axis=0)
+                if keep_trace else s.trace
+            )
+            return _State(
+                x_est=x_new, gx=gx_new, update=update, Us=Us, VTs=VTs,
+                nstep=nstep, active=active, best_x=best_x, best_gx=best_gx,
+                best_obj=best_obj, best_step=best_step, prot_break=prot_break,
+                trace=trace,
+            )
         # The three low-rank contractions are batched so U and V stream from
         # HBM only twice per iteration: VT@[delta_gx, gx] in one pass, then
         # U@(that) in one pass; the post-update direction uses the rank-1
@@ -191,7 +220,6 @@ def broyden(
         u = jnp.where(jnp.isfinite(u), u, 0.0)
         u = jnp.where(act, u, 0.0)
         vT = jnp.where(act, vT, 0.0)
-        col = (nstep - 1) % threshold
         Us = jax.lax.dynamic_update_index_in_dim(s.Us, u, col, axis=2)
         VTs = jax.lax.dynamic_update_index_in_dim(s.VTs, vT, col, axis=1)
         update = -matvec_gx - u * jnp.einsum("bd,bd->b", vT, gx_new)[:, None]

@@ -15,17 +15,11 @@ import optax
 
 
 def _donate_args(nums):
-    """Buffer donation for the step state. Disabled by default on the axon
-    tunnel backend (donated executions fail with InvalidArgument there);
-    IMNF_DONATE=1 forces on, IMNF_DONATE=0 forces off."""
-    flag = os.environ.get("IMNF_DONATE")
-    if flag is not None:
-        return nums if flag == "1" else ()
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        platform = "cpu"
-    return nums if platform in ("tpu", "gpu") else ()
+    """Buffer donation for the step state. OFF by default: the axon TPU
+    tunnel in this image reports platform 'tpu' but fails donated executions
+    with InvalidArgument. Set IMNF_DONATE=1 on real TPU runtimes to update
+    params/opt-state in place."""
+    return nums if os.environ.get("IMNF_DONATE") == "1" else ()
 
 from ..layers.protocol import make_vars
 from .ema import ema_apply
@@ -182,7 +176,7 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
                     nbits=8, padding=0, padding_dist="uniform", task="density",
                     add_noise_flag=True, squeeze_first=False,
                     n_lipschitz_iters=None, ema_decay=0.999, learn_p=False,
-                    p_penalty_scale=1.0, train=True, mesh=None):
+                    p_penalty_scale=1.0, train=True, mesh=None, accum_steps=1):
     """Jitted image train (optimizer given) or eval step for the multiscale
     ImplicitFlow model, fusing the reference's whole iteration
     (compute_loss train_img.py:517-554 + step + update_lipschitz + EMA)."""
@@ -254,8 +248,28 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
         step = eval_step
     else:
         def train_step(params, state, opt_state, ema_shadow, x_u8, y, rng, beta):
-            (loss, (new_state, metrics)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, state, x_u8, y, rng, beta)
+            if accum_steps > 1:
+                # Gradient accumulation (--update-freq, train_img.py:644-650):
+                # x_u8/y arrive stacked (accum, B, ...); one lax.scan
+                # accumulates grads, then a single optimizer step applies the
+                # mean (the reference divides by update_freq, :648).
+                def micro(carry, inp):
+                    g_acc, st = carry
+                    xb, yb, kb = inp
+                    (_, (st2, mets)), g = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params, st, xb, yb, kb, beta)
+                    g_acc = jax.tree.map(jnp.add, g_acc, g)
+                    return (g_acc, st2), mets
+                keys = jax.random.split(rng, accum_steps)
+                zero_g = jax.tree.map(jnp.zeros_like, params)
+                (g_sum, new_state), mets = jax.lax.scan(
+                    micro, (zero_g, state), (x_u8, y, keys))
+                grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
+                metrics = jax.tree.map(lambda a: a[-1], mets)
+                loss = metrics["loss"]
+            else:
+                (loss, (new_state, metrics)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, state, x_u8, y, rng, beta)
             # NaN-grad nulling for learn-p (train_img.py:575-578 analog),
             # applied uniformly: non-finite grads become 0.
             if learn_p:

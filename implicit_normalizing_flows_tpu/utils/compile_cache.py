@@ -12,6 +12,13 @@ import os
 def enable_compilation_cache(path: str | None = None):
     import jax
 
+    # CPU AOT cache entries embed host machine features and can SIGILL when
+    # loaded on a different host; only cache for accelerator backends.
+    try:
+        if jax.default_backend() == "cpu":
+            return None
+    except Exception:
+        return None
     path = path or os.environ.get(
         "IMNF_COMPILE_CACHE", os.path.expanduser("~/.cache/imnf_tpu_xla")
     )

@@ -94,6 +94,7 @@ def parse_args(argv=None):
     p.add_argument("--val-batchsize", type=int, default=200)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--ema-val", type=eval, choices=[True, False], default=True)
+    p.add_argument("--update-freq", type=int, default=1)
     p.add_argument("--task", type=str, choices=["density", "classification", "hybrid"], default="density")
     p.add_argument("--rcrop-pad-mode", type=str, choices=["constant", "reflect"], default="reflect")
     p.add_argument("--padding-dist", type=str, choices=["uniform", "gaussian"], default="uniform")
@@ -277,7 +278,8 @@ def main(argv=None):
         add_noise_flag=args.add_noise, squeeze_first=args.squeeze_first,
         n_lipschitz_iters=args.n_lipschitz_iters, learn_p=args.learn_p,
     )
-    train_step = make_image_step(model, optimizer, train=True, **step_kwargs)
+    train_step = make_image_step(model, optimizer, train=True,
+                                 accum_steps=args.update_freq, **step_kwargs)
     eval_step = make_image_step(model, None, train=False, **step_kwargs)
 
     meters = {k: RunningAverageMeter(0.97) for k in
@@ -298,9 +300,14 @@ def main(argv=None):
                 x_u8 = random_flip(x_u8, np_rng)
             beta = min(1.0, global_itr / args.annealing_iters) if args.annealing_iters > 0 else 1.0
             key, sub = jax.random.split(key)
+            xb, yb = np.ascontiguousarray(x_u8), y
+            if args.update_freq > 1:
+                mb = len(xb) // args.update_freq * args.update_freq
+                xb = xb[:mb].reshape(args.update_freq, -1, *xb.shape[1:])
+                yb = yb[:mb].reshape(args.update_freq, -1)
             params, state, opt_state, shadow, m = train_step(
                 params, state, opt_state, shadow,
-                jnp.asarray(np.ascontiguousarray(x_u8)), jnp.asarray(y), sub, jnp.asarray(beta)
+                jnp.asarray(xb), jnp.asarray(yb), sub, jnp.asarray(beta)
             )
             global_itr += 1
             meters["time"].update(time.time() - end)
