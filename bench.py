@@ -39,8 +39,10 @@ def main():
     from __graft_entry__ import _build
 
     batch = int(os.environ.get("BENCH_BATCH", 64))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
-    warmup = int(os.environ.get("BENCH_WARMUP", 3))
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    # enough warmup steps that weights/Lipschitz state move off the easy
+    # at-init solver regime before timing
+    warmup = int(os.environ.get("BENCH_WARMUP", 20))
     size = 32
 
     model = _build([2, 2, 2], 512, size, batch, n_exact_terms=10,
@@ -69,6 +71,7 @@ def main():
         params, state, opt_state, shadow, m = step(
             params, state, opt_state, shadow, x_u8, y, sub, jnp.ones(()))
     jax.block_until_ready(params)
+    warm_metrics = {k: float(v) for k, v in m.items()}
 
     t0 = time.perf_counter()
     for i in range(steps):
@@ -84,6 +87,10 @@ def main():
         "value": round(samples_per_sec, 3),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / REFERENCE_GPU_SAMPLES_PER_SEC_ESTIMATE, 3),
+        "step_ms": round(1000 * dt / steps, 3),
+        "bpd": round(warm_metrics.get("bpd", float("nan")), 4),
+        "broyden_nstep": round(warm_metrics.get("broyden_nstep", float("nan")), 2),
+        "broyden_converged": round(warm_metrics.get("broyden_converged", float("nan")), 3),
     }))
 
 

@@ -34,6 +34,7 @@ memory/compute trade, expressed to the XLA scheduler.
 from __future__ import annotations
 
 import math
+import os
 
 from dataclasses import dataclass
 
@@ -50,13 +51,20 @@ __all__ = ["ImplicitBlock", "SolverConfig"]
 
 @dataclass(frozen=True)
 class SolverConfig:
-    """Solver budgets (reference defaults: implicit_block.py:120-123)."""
+    """Solver budgets (reference defaults: implicit_block.py:120-123).
+
+    ``warm_start``: start the forward/inverse Broyden solve from the input
+    instead of zeros. The reference always starts from zeros
+    (implicit_block.py:73) — for contractive residuals the root is near the
+    input, so the warm start converges in fewer iterations to the same root.
+    """
 
     eps_forward: float = 1e-6
     eps_backward: float = 1e-10
     eps_sample: float = 1e-5
     threshold: int = 30
     banach_threshold: int = 1000
+    warm_start: bool = False
 
 
 def _sg(tree):
@@ -75,8 +83,9 @@ def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
         x_embed = flat(apply_x(vx, x)) + flat(x)
         g = lambda zf: x_embed - flat(apply_z(vz, unflat(zf))) - zf
         banach_g = lambda zf: x_embed - flat(apply_z(vz, unflat(zf)))
+        z0 = flat(jax.lax.stop_gradient(x)) if cfg.warm_start else jnp.zeros_like(flat(x))
         zf, res = root_solve(
-            g, banach_g, jnp.zeros_like(flat(x)),
+            g, banach_g, z0,
             threshold=cfg.threshold, eps=cfg.eps_forward,
             banach_x0=flat(jax.lax.stop_gradient(x)),
             banach_threshold=cfg.banach_threshold,
@@ -161,6 +170,7 @@ class ImplicitBlock(Flow):
         eps_sample=1e-5,
         threshold=30,
         series_cap=24,
+        warm_start=False,
     ):
         self.nnet_x = nnet_x
         self.nnet_z = nnet_z
@@ -183,6 +193,7 @@ class ImplicitBlock(Flow):
             eps_backward=eps_backward,
             eps_sample=eps_sample,
             threshold=threshold,
+            warm_start=warm_start or os.environ.get("IMNF_WARM_START") == "1",
         )
         self._implicit_forward = _make_implicit_forward(
             self.nnet_x.apply, self.nnet_z.apply, self.solver_cfg
@@ -244,8 +255,9 @@ class ImplicitBlock(Flow):
         z_embed = flat(self.nnet_z.apply(vz, z)) + flat(z)
         g = lambda xf: z_embed - flat(self.nnet_x.apply(vx, unflat(xf))) - xf
         banach_g = lambda xf: z_embed - flat(self.nnet_x.apply(vx, unflat(xf)))
+        x0 = flat(z) if self.solver_cfg.warm_start else jnp.zeros_like(flat(z))
         xf, _ = root_solve(
-            g, banach_g, jnp.zeros_like(flat(z)),
+            g, banach_g, x0,
             threshold=self.solver_cfg.threshold, eps=self.solver_cfg.eps_sample,
             banach_x0=flat(z), banach_threshold=self.solver_cfg.banach_threshold,
         )

@@ -102,3 +102,21 @@ def test_image_train_step_hybrid(tiny_model):
     )
     assert np.isfinite(float(m["loss"]))
     assert "ce" in m and np.isfinite(float(m["ce"]))
+
+
+def test_image_train_step_accum(tiny_model):
+    model, v, x = tiny_model
+    from implicit_normalizing_flows_tpu.training import adam, ema_init, linear_warmup
+    params, state = v["params"], v["state"]
+    optimizer = adam(linear_warmup(1e-3, 10), betas=(0.9, 0.99), grad_clip=1.0)
+    opt_state = optimizer.init(params)
+    shadow = ema_init(params)
+    step = make_image_step(model, optimizer, im_dim=3, imagesize=8,
+                           task="density", n_lipschitz_iters=5, accum_steps=2)
+    rng = np.random.RandomState(3)
+    x_u8 = rng.randint(0, 256, size=(2, 2) + x.shape[1:], dtype=np.uint8)
+    y = np.zeros((2, 2), np.int64)
+    params, state, opt_state, shadow, m = step(
+        params, state, opt_state, shadow, x_u8, y, jax.random.PRNGKey(8), jnp.ones(())
+    )
+    assert np.isfinite(float(m["loss"]))
