@@ -65,6 +65,14 @@ class SolverConfig:
     threshold: int = 30
     banach_threshold: int = 1000
     warm_start: bool = False
+    # Per-example stall exit (wall-clock only; the best iterate is returned
+    # either way). None disables for strict reference iteration counts.
+    # stall_rtol must sit above the arithmetic noise floor of the net evals
+    # (TPU default-precision convs jitter the residual by ~1%), else noise
+    # dips keep resetting the patience counter and the loop runs the full
+    # budget.
+    stall_patience: int | None = 5
+    stall_rtol: float = 0.05
 
 
 def _sg(tree):
@@ -89,6 +97,7 @@ def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
             threshold=cfg.threshold, eps=cfg.eps_forward,
             banach_x0=flat(jax.lax.stop_gradient(x)),
             banach_threshold=cfg.banach_threshold,
+            stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
         )
         # First-class solver telemetry (BASELINE.md: Broyden iters-to-converge
         # tracked as a metric; reference only surfaces it on failure,
@@ -131,6 +140,7 @@ def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
         ures = broyden_solve(
             gfun, jnp.zeros_like(flat(grad)),
             threshold=cfg.threshold, eps=cfg.eps_backward,
+            stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
         )
         u = unflat(ures.result)
 
@@ -260,6 +270,8 @@ class ImplicitBlock(Flow):
             g, banach_g, x0,
             threshold=self.solver_cfg.threshold, eps=self.solver_cfg.eps_sample,
             banach_x0=flat(z), banach_threshold=self.solver_cfg.banach_threshold,
+            stall_patience=self.solver_cfg.stall_patience,
+            stall_rtol=self.solver_cfg.stall_rtol,
         )
         x = unflat(xf)
         if logpz is None:

@@ -90,6 +90,7 @@ class _State(NamedTuple):
     best_obj: jax.Array
     best_step: jax.Array
     prot_break: jax.Array
+    best_snapshot: jax.Array
     trace: jax.Array
 
 
@@ -100,6 +101,8 @@ def broyden(
     eps: float,
     *,
     keep_trace: bool = False,
+    stall_patience: int | None = None,
+    stall_rtol: float = 1e-3,
 ) -> BroydenResult:
     """Solve ``g(x) = 0`` for a batch of independent problems.
 
@@ -110,6 +113,16 @@ def broyden(
       threshold: max Broyden iterations == number of low-rank columns K
           (reference ``LBFGS_thres = threshold``, broyden.py:125).
       eps: base tolerance; per-example tolerance is ``eps * sqrt(D)``.
+      stall_patience: if set, every ``stall_patience`` iterations compare each
+          example's (monotone) best objective against its value one window
+          ago; freeze the example when the window improved by less than
+          ``stall_rtol`` relative — the per-example analog of the reference's
+          "hardly been any progress" break (broyden.py:165-168). The monotone
+          window test is immune both to oscillating iterates (which a
+          consecutive-failure counter mistakes for stalls) and to arithmetic
+          noise dips (which keep resetting such a counter). The solver
+          returns each example's best iterate, so stalling out early trades
+          only the tail of convergence, never the achieved quality.
 
     The solve carries no gradient; wrap in ``stop_gradient``/``custom_vjp`` at
     the call site (the reference's RootFind.backward asserts, broyden callers
@@ -152,6 +165,7 @@ def broyden(
         best_obj=init_obj,
         best_step=jnp.zeros((bsz,), jnp.int32),
         prot_break=jnp.zeros((bsz,), bool),
+        best_snapshot=init_obj,
         trace=trace_buf,
     )
 
@@ -180,6 +194,13 @@ def broyden(
         newly_prot = s.active & bad
         prot_break = s.prot_break | newly_prot
         active = s.active & (obj >= eps_i) & ~bad
+        if stall_patience is not None:
+            at_check = (nstep % stall_patience) == 0
+            stalled = at_check & (best_obj > s.best_snapshot * (1.0 - stall_rtol))
+            active = active & ~stalled
+            best_snapshot = jnp.where(at_check, best_obj, s.best_snapshot)
+        else:
+            best_snapshot = s.best_snapshot
 
         # Rank-1 secant update appended at column nstep-1 (broyden.py:174-181).
         col = (nstep - 1) % threshold
@@ -197,7 +218,7 @@ def broyden(
                 x_est=x_new, gx=gx_new, update=update, Us=Us, VTs=VTs,
                 nstep=nstep, active=active, best_x=best_x, best_gx=best_gx,
                 best_obj=best_obj, best_step=best_step, prot_break=prot_break,
-                trace=trace,
+                best_snapshot=best_snapshot, trace=trace,
             )
         # The three low-rank contractions are batched so U and V stream from
         # HBM only twice per iteration: VT@[delta_gx, gx] in one pass, then
@@ -232,7 +253,8 @@ def broyden(
         return _State(
             x_est=x_new, gx=gx_new, update=update, Us=Us, VTs=VTs, nstep=nstep,
             active=active, best_x=best_x, best_gx=best_gx, best_obj=best_obj,
-            best_step=best_step, prot_break=prot_break, trace=trace,
+            best_step=best_step, prot_break=prot_break,
+            best_snapshot=best_snapshot, trace=trace,
         )
 
     final = jax.lax.while_loop(cond, body, state)
@@ -295,6 +317,8 @@ def root_solve(
     eps: float,
     banach_x0: jax.Array | None = None,
     banach_threshold: int = 1000,
+    stall_patience: int | None = None,
+    stall_rtol: float = 1e-3,
 ) -> tuple[jax.Array, BroydenResult]:
     """Broyden solve with per-example Banach fallback.
 
@@ -307,7 +331,8 @@ def root_solve(
     skipped entirely (lax.cond) when no row diverged, so the common case pays
     nothing.
     """
-    res = broyden(g, x0, threshold, eps)
+    res = broyden(g, x0, threshold, eps, stall_patience=stall_patience,
+                  stall_rtol=stall_rtol)
     if banach_x0 is None:
         banach_x0 = x0
 
@@ -323,3 +348,30 @@ def root_solve(
         (res.result, banach_x0),
     )
     return z, res
+
+
+def analyze_broyden(res: BroydenResult, judge: bool = True, name: str = "forward"):
+    """Host-side solve triage (reference ``analyze_broyden``,
+    ``broyden.py:196-236``): classify nan / bad / protective-break outcomes.
+
+    With ``judge=True`` returns a bool ("did anything go wrong"); otherwise a
+    (code, message) pair: 1=NaN result, 2=bad solve, 3=protective break,
+    -1=healthy. Operates on fetched values — call outside jit.
+    """
+    import numpy as np
+
+    result = np.asarray(res.result)
+    diff = np.asarray(res.diff)
+    eps = np.asarray(res.eps)
+    prot = bool(np.any(np.asarray(res.prot_break)))
+    nan_result = bool(np.any(~np.isfinite(result)))
+    bad = bool(np.any(~np.isfinite(diff))) or (int(res.nstep) == 0 and bool(np.any(diff > eps)))
+    if judge:
+        return nan_result or bad or prot
+    if nan_result:
+        return 1, f"WARNING: nan found in Broyden's {name} result. Diff: {diff.max()}"
+    if bad:
+        return 2, f"WARNING: Bad Broyden's method {name}. Diff: {diff.max()}. STOP."
+    if prot:
+        return 3, f"WARNING: Hit Protective Break in {name}. Diff: {diff.max()}."
+    return -1, ""

@@ -60,7 +60,8 @@ def standard_normal_logprob(z):
 
 
 def make_density_train_step(model, optimizer, *, n_lipschitz_iters=None,
-                            ema_decay=0.999, mesh=None, in_shardings=None):
+                            ema_decay=0.999, mesh=None, in_shardings=None,
+                            learn_p=False, p_penalty_scale=0.01):
     """Build the jitted train step for a Flow-protocol density model
     (SequentialFlow chains: toy/tabular).
 
@@ -76,12 +77,20 @@ def make_density_train_step(model, optimizer, *, n_lipschitz_iters=None,
         logpz = standard_normal_logprob(z)
         logpx = logpz - beta * delta_logp
         loss = -jnp.mean(logpx)
+        if learn_p:
+            # learned p-order penalty (compute_p_grads, train_toy.py:133-144:
+            # mean one-step sigma scaled by 0.01, grads only to the orders)
+            total, count = model.lipschitz_one_iter(make_vars(params, state))
+            if count > 0:
+                loss = loss + p_penalty_scale * total / count
         return loss, (new_state, jnp.mean(logpz), jnp.mean(-delta_logp))
 
     def step(params, state, opt_state, ema_shadow, x, rng, beta):
         (loss, (new_state, logpz, neg_delta)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, state, x, rng, beta)
+        if learn_p:
+            grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         # Post-step power iteration, same schedule as the reference

@@ -113,7 +113,9 @@ def main():
     opt_state = optimizer.init(params)
     shadow = ema_init(params)
 
-    train_step = make_density_train_step(model, optimizer, n_lipschitz_iters=args.n_lipschitz_iters)
+    train_step = make_density_train_step(model, optimizer,
+                                         n_lipschitz_iters=args.n_lipschitz_iters,
+                                         learn_p=args.learn_p)
     eval_step = make_density_eval_step(model)
 
     time_meter = RunningAverageMeter(0.93)
