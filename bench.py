@@ -70,15 +70,17 @@ def main():
         key, sub = jax.random.split(key)
         params, state, opt_state, shadow, m = step(
             params, state, opt_state, shadow, x_u8, y, sub, jnp.ones(()))
-    jax.block_until_ready(params)
-    warm_metrics = {k: float(v) for k, v in m.items()}
+    warm_metrics = {k: float(v) for k, v in m.items()}  # forces sync
 
     t0 = time.perf_counter()
     for i in range(steps):
         key, sub = jax.random.split(key)
         params, state, opt_state, shadow, m = step(
             params, state, opt_state, shadow, x_u8, y, sub, jnp.ones(()))
-    jax.block_until_ready(params)
+    # Hard sync: materialise a value that depends on the full step chain
+    # (block_until_ready on this tunnel backend returns before execution
+    # finishes, which silently inflated earlier numbers ~100x).
+    final_loss = float(m["loss"])
     dt = time.perf_counter() - t0
 
     samples_per_sec = batch * steps / dt

@@ -13,7 +13,11 @@ import numpy as np
 
 
 def _to_numpy(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    """Device arrays -> host numpy; python scalars/strings (e.g. the embedded
+    args namespace) pass through untouched."""
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
+    )
 
 
 def save_checkpoint(state: dict, save_dir: str, epoch: int,

@@ -1,0 +1,53 @@
+"""End-to-end driver tests: train_img saves a checkpoint that
+qualitative_samples can render from (the reference's workflow,
+qualitative_samples.py:428-474)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(code):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, env=env, cwd=REPO, timeout=1500)
+
+
+@pytest.mark.slow
+def test_train_then_sample(tmp_path):
+    save = str(tmp_path / "exp")
+    code = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys
+sys.argv = ["train_img.py", "--data", "cifar10", "--synthetic-data", "True",
+            "--actnorm", "True", "--nblocks", "1-1", "--idim", "16",
+            "--act", "swish", "--kernels", "3-1-3", "--vnorms", "2222",
+            "--fc-end", "False", "--preact", "True", "--coeff", "0.9",
+            "--n-exact-terms", "2", "--imagesize", "8", "--batchsize", "8",
+            "--val-batchsize", "8", "--nepochs", "1",
+            "--max-iters-per-epoch", "2", "--save", {save!r},
+            "--print-freq", "1", "--seed", "0", "--vis-freq", "0"]
+import runpy
+runpy.run_path("train_img.py", run_name="__main__")
+"""
+    r = _run(code)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(save, "most_recent.pkl"))
+
+    out = str(tmp_path / "samples.png")
+    code2 = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys
+sys.argv = ["qualitative_samples.py", "--ckpt", {os.path.join(save, 'most_recent.pkl')!r},
+            "--out", {out!r}, "--nsamples", "4", "--nrow", "2",
+            "--temperature", "0.7"]
+import runpy
+runpy.run_path("qualitative_samples.py", run_name="__main__")
+"""
+    r2 = _run(code2)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert os.path.exists(out)
