@@ -305,18 +305,38 @@ class ImplicitBlock(Flow):
         vareps_z = ld.sample_rademacher(k_ez, z.shape, z.dtype)
         neumann = train and cfg.neumann_grad
 
-        def estimate(apply_fn, v, y, eps):
+        if cfg.exact_trace:
+            ld_x = ld.residual_logdet(apply_x, vx, x, vareps_x, coeffs, n_power,
+                                      neumann=False, exact_trace=True)
+            ld_z = ld.residual_logdet(apply_z, vz, z, vareps_z, coeffs, n_power,
+                                      neumann=False, exact_trace=True)
+            logdet = ld_x - ld_z
+            state = dict(variables["state"])
+            return logdet, state
+
+        # The two residual nets are architecturally identical (two
+        # independently built copies, implicit_flow.py:400-409), so their
+        # Hutchinson VJP chains — the dominant sequential cost of the step —
+        # run as ONE vmapped computation over stacked params: half the loop
+        # length, double the effective batch on the MXU.
+        stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), vx, vz)
+        y_pair = jnp.stack([x, z])
+        eps_pair = jnp.stack([vareps_x, vareps_z])
+        apply_pair = jax.vmap(apply_x, in_axes=(0, 0))
+
+        def estimate(v, y, eps):
             return ld.residual_logdet(
-                apply_fn, v, y, eps, coeffs, n_power,
-                neumann=neumann, exact_trace=cfg.exact_trace,
+                apply_pair, v, y, eps, coeffs, n_power,
+                neumann=neumann, batch_ndim=2,
             )
 
         if train and cfg.grad_in_forward:
             # Rematerialise the estimator in backward instead of storing the
             # VJP chain (reference mem_eff_wrapper, implicit_block.py:441-450).
-            estimate = jax.checkpoint(estimate, static_argnums=(0,))
+            estimate = jax.checkpoint(estimate)
 
-        logdet = estimate(apply_x, vx, x, vareps_x) - estimate(apply_z, vz, z, vareps_z)
+        ld_pair = estimate(stacked, y_pair, eps_pair)  # (2, B)
+        logdet = ld_pair[0] - ld_pair[1]
 
         state = dict(variables["state"])
         if train and cfg.n_power_series is None:

@@ -131,11 +131,14 @@ def sample_n_dist(key, cfg: LogdetConfig, geom_p, lamb, train: bool):
     return coeffs, n_power, n_samples
 
 
-def _batch_dot(a, b):
-    return jnp.sum(a.reshape(a.shape[0], -1) * b.reshape(b.shape[0], -1), axis=1)
+def _batch_dot(a, b, batch_ndim=1):
+    """Sum over all but the leading batch_ndim axes."""
+    axes = tuple(range(batch_ndim, a.ndim))
+    return jnp.sum(a * b, axis=axes)
 
 
-def neumann_logdet_estimator(apply_fn, params, x, vareps, coeffs, n_power):
+def neumann_logdet_estimator(apply_fn, params, x, vareps, coeffs, n_power,
+                             batch_ndim=1):
     """O(1)-memory gradient estimator (implicit_block.py:429-438).
 
     ``v_k = J^k eps`` accumulated with roulette weights under stop-gradient
@@ -166,10 +169,10 @@ def neumann_logdet_estimator(apply_fn, params, x, vareps, coeffs, n_power):
         cond, body, (jnp.ones((), jnp.int32), vareps_sg, vareps_sg)
     )
     vjp_jac = vjp_fn(jax.lax.stop_gradient(neumann_v))[0]
-    return _batch_dot(vjp_jac, vareps)
+    return _batch_dot(vjp_jac, vareps, batch_ndim)
 
 
-def basic_logdet_estimator(apply_fn, params, x, vareps, coeffs):
+def basic_logdet_estimator(apply_fn, params, x, vareps, coeffs, batch_ndim=1):
     """Differentiable power series (implicit_block.py:418-426):
     ``sum_k (-1)^(k+1)/k * coeff(k) * <eps, J^k eps>`` as a lax.scan over the
     static coefficient vector (zero coefficients contribute exactly zero)."""
@@ -182,11 +185,11 @@ def basic_logdet_estimator(apply_fn, params, x, vareps, coeffs):
     def step(carry, w):
         vjp_k, acc = carry
         vjp_k = vjp_fn(vjp_k)[0]
-        acc = acc + w * _batch_dot(vjp_k, vareps)
+        acc = acc + w * _batch_dot(vjp_k, vareps, batch_ndim)
         return (vjp_k, acc), None
 
     (_, logdet), _ = jax.lax.scan(
-        step, (vareps, jnp.zeros((x.shape[0],), x.dtype)), weights
+        step, (vareps, jnp.zeros(x.shape[:batch_ndim], x.dtype)), weights
     )
     return logdet
 
@@ -241,11 +244,16 @@ def residual_logdet(
     *,
     neumann: bool,
     exact_trace: bool = False,
+    batch_ndim: int = 1,
 ):
     """Dispatch used by the implicit block for each of its two nets
-    (``_logdetgrad``, implicit_block.py:291-343)."""
+    (``_logdetgrad``, implicit_block.py:291-343). ``batch_ndim=2`` supports
+    the stacked-two-nets layout (leading [net, batch] axes)."""
     if exact_trace:
+        if batch_ndim != 1:
+            raise NotImplementedError("exact_trace with stacked nets")
         return exact_trace_logdet(apply_fn, params, x, coeffs)
     if neumann:
-        return neumann_logdet_estimator(apply_fn, params, x, vareps, coeffs, n_power)
-    return basic_logdet_estimator(apply_fn, params, x, vareps, coeffs)
+        return neumann_logdet_estimator(apply_fn, params, x, vareps, coeffs,
+                                        n_power, batch_ndim)
+    return basic_logdet_estimator(apply_fn, params, x, vareps, coeffs, batch_ndim)
