@@ -96,5 +96,39 @@ def main():
     }))
 
 
+def main_with_retries():
+    """The TPU tunnel in this image occasionally loses a compile RPC and a
+    process hangs forever; run the measurement in a subprocess with a timeout
+    and retry so the driver always receives its JSON line."""
+    import subprocess
+
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
+    timeout_s = int(os.environ.get("BENCH_TIMEOUT_S", 1500))
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {i + 1} timed out; retrying", file=sys.stderr)
+            continue
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        print(f"bench attempt {i + 1} failed rc={r.returncode}:\n{r.stderr[-2000:]}",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "cifar10_train_samples_per_sec", "value": 0.0,
+        "unit": "samples/s", "vs_baseline": 0.0,
+        "error": "all bench attempts failed (TPU tunnel)",
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(main_with_retries())

@@ -74,3 +74,18 @@ def test_toy_archs_roundtrip(arch):
     assert np.isfinite(np.asarray(delta)).all()
     x_rec, _ = model.inverse(v, z, None, rng=jax.random.PRNGKey(16))
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=2e-3)
+
+
+def test_tabular_model_roundtrip_and_nll():
+    from implicit_normalizing_flows_tpu.models import build_tabular_model
+    from implicit_normalizing_flows_tpu.training import standard_normal_logprob
+
+    model = build_tabular_model(6, dims="32-32", nblocks=2, act="sin",
+                                coeff=0.9, vnorms="2222", n_lipschitz_iters=5)
+    x = jax.random.normal(jax.random.PRNGKey(20), (16, 6))
+    v = model.init(jax.random.PRNGKey(21), x)
+    z, delta, _ = model.forward(v, x, jnp.zeros((16,)), rng=jax.random.PRNGKey(22), train=True)
+    nll = -jnp.mean(standard_normal_logprob(z) - delta)
+    assert np.isfinite(float(nll))
+    x_rec, _ = model.inverse(v, z, None, rng=jax.random.PRNGKey(23))
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=2e-3)
