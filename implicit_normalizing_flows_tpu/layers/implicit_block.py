@@ -142,6 +142,10 @@ def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
             threshold=cfg.threshold, eps=cfg.eps_backward,
             stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
         )
+        if os.environ.get("IMNF_DEBUG_SOLVER") == "1":
+            jax.debug.print(
+                "bwd solve: nstep={n} best={b:.3e} eps={e:.3e}",
+                n=ures.nstep, b=jnp.max(ures.diff), e=ures.eps[0])
         u = unflat(ures.result)
 
         # One VJP through the re-attachment delivers d_params_x, d_params_z,

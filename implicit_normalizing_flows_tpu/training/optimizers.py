@@ -136,3 +136,19 @@ def rmsprop(lr_schedule, alpha=0.99, eps=1e-8, momentum=0.0, centered=False,
             weight_decay=0.0, grad_clip=None):
     return _with_common(scale_by_torch_rmsprop(alpha, eps, momentum, centered),
                         lr_schedule, weight_decay, grad_clip)
+
+
+def sgd(lr_schedule, momentum=0.9, weight_decay=0.0, grad_clip=None):
+    """torch.optim.SGD with momentum (train_img.py optimizer='sgd' path)."""
+
+    def init_fn(params):
+        return jax.tree.map(jnp.zeros_like, params)
+
+    def update_fn(updates, state, params=None):
+        if momentum > 0:
+            buf = jax.tree.map(lambda b, g: momentum * b + g, state, updates)
+            return jax.tree.map(lambda b: -b, buf), buf
+        return jax.tree.map(lambda g: -g, updates), state
+
+    inner = optax.GradientTransformation(init_fn, update_fn)
+    return _with_common(inner, lr_schedule, weight_decay, grad_clip)

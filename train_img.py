@@ -83,7 +83,7 @@ def parse_args(argv=None):
     p.add_argument("--padding", type=int, default=0)
     p.add_argument("--first-resblock", type=eval, choices=[True, False], default=True)
     p.add_argument("--cdim", type=int, default=256)
-    p.add_argument("--optimizer", type=str, choices=["adam", "adamax", "rmsprop"], default="adam")
+    p.add_argument("--optimizer", type=str, choices=["adam", "adamax", "rmsprop", "sgd"], default="adam")
     p.add_argument("--nepochs", type=int, default=1000)
     p.add_argument("--batchsize", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -258,6 +258,9 @@ def main(argv=None):
         optimizer = adam(lr_schedule, betas=(0.9, 0.99), weight_decay=args.wd, grad_clip=1.0)
     elif args.optimizer == "adamax":
         optimizer = adamax(lr_schedule, betas=(0.9, 0.99), weight_decay=args.wd, grad_clip=1.0)
+    elif args.optimizer == "sgd":
+        from implicit_normalizing_flows_tpu.training.optimizers import sgd
+        optimizer = sgd(lr_schedule, momentum=0.9, weight_decay=args.wd, grad_clip=1.0)
     else:
         optimizer = rmsprop(lr_schedule, weight_decay=args.wd, grad_clip=1.0)
     opt_state = optimizer.init(params)
