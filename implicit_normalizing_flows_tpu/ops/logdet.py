@@ -132,9 +132,10 @@ def sample_n_dist(key, cfg: LogdetConfig, geom_p, lamb, train: bool):
 
 
 def _batch_dot(a, b, batch_ndim=1):
-    """Sum over all but the leading batch_ndim axes."""
+    """Sum over all but the leading batch_ndim axes; accumulate in f32 (the
+    operands may be bf16 when the estimator runs in reduced precision)."""
     axes = tuple(range(batch_ndim, a.ndim))
-    return jnp.sum(a * b, axis=axes)
+    return jnp.sum(a.astype(jnp.float32) * b.astype(jnp.float32), axis=axes)
 
 
 def neumann_logdet_estimator(apply_fn, params, x, vareps, coeffs, n_power,

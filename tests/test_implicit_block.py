@@ -128,3 +128,19 @@ def test_gradient_of_full_logprob_matches_fd():
         fm = loss(unravel(flat.at[i].add(-eps)))
         fd = (fp - fm) / (2 * eps)
         np.testing.assert_allclose(float(gflat[i]), float(fd), rtol=3e-2, atol=3e-3)
+
+
+def test_warm_start_same_root():
+    """warm_start changes iteration count only, not the solution."""
+    key = jax.random.PRNGKey(30)
+    k1, k2 = jax.random.split(key)
+    cold = ImplicitBlock(_toy_net(k1), _toy_net(k2), brute_force=True,
+                         neumann_grad=False, grad_in_forward=False)
+    warm = ImplicitBlock(cold.nnet_x, cold.nnet_z, brute_force=True,
+                         neumann_grad=False, grad_in_forward=False,
+                         warm_start=True)
+    x = jax.random.normal(jax.random.PRNGKey(31), (8, 2))
+    v = cold.init(jax.random.PRNGKey(32), x)
+    z_cold, _, _ = cold.forward(v, x, None)
+    z_warm, _, _ = warm.forward(v, x, None)
+    np.testing.assert_allclose(np.asarray(z_cold), np.asarray(z_warm), atol=1e-4)
