@@ -185,7 +185,8 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
                     nbits=8, padding=0, padding_dist="uniform", task="density",
                     add_noise_flag=True, squeeze_first=False,
                     n_lipschitz_iters=None, ema_decay=0.999, learn_p=False,
-                    p_penalty_scale=1.0, train=True, mesh=None, accum_steps=1):
+                    p_penalty_scale=1.0, train=True, mesh=None, accum_steps=1,
+                    scale_dim=False):
     """Jitted image train (optimizer given) or eval step for the multiscale
     ImplicitFlow model, fusing the reference's whole iteration
     (compute_loss train_img.py:517-554 + step + update_lipschitz + EMA)."""
@@ -240,7 +241,10 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
             metrics["acc"] = acc
             if task == "classification":
                 loss = ce
-            else:  # hybrid: bpd scaled back to nats-per-image + CE in bits
+            elif scale_dim:  # --scale-dim True keeps the per-dim bpd scale
+                loss = bpd + ce / math.log(2)
+            else:  # hybrid default: bpd scaled back to per-image nats
+                   # (train_img.py:640-641)
                 loss = bpd * dim_data + ce / math.log(2)
 
         if learn_p and train:

@@ -96,6 +96,7 @@ def parse_args(argv=None):
     p.add_argument("--ema-val", type=eval, choices=[True, False], default=True)
     p.add_argument("--update-freq", type=int, default=1)
     p.add_argument("--task", type=str, choices=["density", "classification", "hybrid"], default="density")
+    p.add_argument("--scale-dim", type=eval, choices=[True, False], default=False)
     p.add_argument("--rcrop-pad-mode", type=str, choices=["constant", "reflect"], default="reflect")
     p.add_argument("--padding-dist", type=str, choices=["uniform", "gaussian"], default="uniform")
     p.add_argument("--resume", type=str, default=None)
@@ -280,6 +281,7 @@ def main(argv=None):
         padding=args.padding, padding_dist=args.padding_dist, task=args.task,
         add_noise_flag=args.add_noise, squeeze_first=args.squeeze_first,
         n_lipschitz_iters=args.n_lipschitz_iters, learn_p=args.learn_p,
+        scale_dim=args.scale_dim,
     )
     train_step = make_image_step(model, optimizer, train=True,
                                  accum_steps=args.update_freq, **step_kwargs)
