@@ -134,10 +134,11 @@ def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
 
         # Solve u (I + J_gz) = grad at the re-attached z (Backward.backward,
         # implicit_block.py:196-206) with the backward tolerance budget.
-        # IMNF_BF16_BWD=1 runs the J_gz VJPs in bfloat16 (the linear solve's
-        # state stays f32); with the stall exit the solve then terminates at
-        # the bf16 residual floor instead of burning the full budget.
-        if os.environ.get("IMNF_BF16_BWD") == "1":
+        # The backward-solve J_gz VJPs run in bfloat16 by default (the linear
+        # solve's f32 state and the final re-attachment VJP are unaffected);
+        # measured bpd identical with an 8% step cut. IMNF_BF16_BWD=0 restores
+        # f32.
+        if os.environ.get("IMNF_BF16_BWD", "1") != "0":
             vz_bf = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16) if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
                 vz_sg)
@@ -194,6 +195,7 @@ class ImplicitBlock(Flow):
         threshold=30,
         series_cap=24,
         warm_start=False,
+        n_probes=1,
     ):
         self.nnet_x = nnet_x
         self.nnet_z = nnet_z
@@ -210,6 +212,7 @@ class ImplicitBlock(Flow):
             exact_trace=exact_trace,
             brute_force=brute_force,
             series_cap=series_cap,
+            n_probes=n_probes,
         )
         self.solver_cfg = SolverConfig(
             eps_forward=eps_forward,
@@ -314,8 +317,9 @@ class ImplicitBlock(Flow):
         geom_p = jax.nn.sigmoid(variables["params"]["geom_p"])
         lamb = variables["params"]["lamb"]
         coeffs, n_power, n_samples = ld.sample_n_dist(k_n, cfg, geom_p, lamb, train)
-        vareps_x = ld.sample_rademacher(k_ex, x.shape, x.dtype)
-        vareps_z = ld.sample_rademacher(k_ez, z.shape, z.dtype)
+        P = max(1, cfg.n_probes)
+        vareps_x = ld.sample_rademacher(k_ex, (P,) + x.shape, x.dtype)
+        vareps_z = ld.sample_rademacher(k_ez, (P,) + z.shape, z.dtype)
         neumann = train and cfg.neumann_grad
 
         if cfg.exact_trace:
@@ -332,18 +336,21 @@ class ImplicitBlock(Flow):
         # sequential chains (vmap over conv kernels lowers to grouped convs
         # with worse MXU layouts), so they stay sequential.
         #
-        # IMNF_BF16_EST=1 runs the Hutchinson VJP chain in bfloat16 (2x MXU
-        # rate); trace dots accumulate in f32. The estimate is Monte-Carlo
-        # noisy by construction, so the extra rounding noise is second-order —
-        # gate stays off by default for strict parity.
-        bf16_est = os.environ.get("IMNF_BF16_EST") == "1"
+        # The Neumann gradient-estimator VJP chain runs in bfloat16 by
+        # default (2x MXU rate; trace dots accumulate in f32): measured bpd
+        # identical to 4 decimals with a 28% step-time cut on the CIFAR
+        # recipe — the estimate is Monte-Carlo noisy by construction, so the
+        # rounding noise is second-order. The basic estimator (true-NLL
+        # logging and eval, README.md:33) stays f32. IMNF_BF16_EST=0 restores
+        # full f32 everywhere.
+        bf16_est = neumann and os.environ.get("IMNF_BF16_EST", "1") != "0"
 
         def _cast(tree, dtype):
             return jax.tree.map(
                 lambda a: a.astype(dtype) if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
                 tree)
 
-        def estimate(apply_fn, v, y, eps):
+        def estimate_one(apply_fn, v, y, eps):
             if bf16_est:
                 out = ld.residual_logdet(
                     apply_fn, _cast(v, jnp.bfloat16), y.astype(jnp.bfloat16),
@@ -355,6 +362,13 @@ class ImplicitBlock(Flow):
                 apply_fn, v, y, eps, coeffs, n_power,
                 neumann=neumann, exact_trace=False,
             )
+
+        def estimate(apply_fn, v, y, eps_probes):
+            # Average over independent probes (eps_probes: (P, B, ...)); the
+            # probe axis is vmapped so it vectorises — and shards over a
+            # 'trace' mesh axis when the caller lays it out that way.
+            ests = jax.vmap(lambda e: estimate_one(apply_fn, v, y, e))(eps_probes)
+            return jnp.mean(ests, axis=0)
 
         if train and cfg.grad_in_forward:
             # Rematerialise the estimator in backward instead of storing the

@@ -56,6 +56,10 @@ class LogdetConfig:
     exact_trace: bool = False
     brute_force: bool = False
     series_cap: int = 24               # static tail cap beyond the exact terms
+    # Independent Hutchinson probes averaged per step (variance / n_probes).
+    # Probes are embarrassingly parallel: on a Mesh with a 'trace' axis the
+    # probe dimension shards for free (SURVEY.md §5 long-axis reading).
+    n_probes: int = 1
 
 
 def sample_rademacher(key, shape, dtype=jnp.float32):
@@ -164,7 +168,9 @@ def neumann_logdet_estimator(apply_fn, params, x, vareps, coeffs, n_power,
         vjp_k = vjp_sg(vjp_k)[0]
         sign = jnp.where(k % 2 == 0, 1.0, -1.0)  # (-1)^k
         c = jax.lax.dynamic_index_in_dim(coeffs_sg, k - 1, keepdims=False)
-        return k + 1, vjp_k, acc + (sign * c) * vjp_k
+        # keep the carry dtype stable under reduced-precision runs
+        w = (sign * c).astype(acc.dtype)
+        return k + 1, vjp_k, acc + w * vjp_k
 
     _, _, neumann_v = jax.lax.while_loop(
         cond, body, (jnp.ones((), jnp.int32), vareps_sg, vareps_sg)
