@@ -88,17 +88,26 @@ def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
         flat = lambda a: a.reshape(B, -1)
         unflat = lambda a: a.reshape(x.shape)
         vx, vz = _sg(vars_x), _sg(vars_z)
-        x_embed = flat(apply_x(vx, x)) + flat(x)
-        g = lambda zf: x_embed - flat(apply_z(vz, unflat(zf))) - zf
-        banach_g = lambda zf: x_embed - flat(apply_z(vz, unflat(zf)))
-        z0 = flat(jax.lax.stop_gradient(x)) if cfg.warm_start else jnp.zeros_like(flat(x))
-        zf, res = root_solve(
-            g, banach_g, z0,
-            threshold=cfg.threshold, eps=cfg.eps_forward,
-            banach_x0=flat(jax.lax.stop_gradient(x)),
-            banach_threshold=cfg.banach_threshold,
-            stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
-        )
+        # The fixed-point evals run at a raised matmul precision
+        # (IMNF_SOLVER_PRECISION, default tensorfloat32 = 3-pass bf16): at
+        # TPU default (1-pass bf16) the residual noise floor sits above
+        # eps*sqrt(D) and the quasi-Newton superlinear rate collapses to a
+        # slow linear crawl that burns the whole 30-iteration budget; at
+        # raised precision the solve converges in ~4-5 iterations, which is
+        # cheaper even at 3x per-eval cost.
+        prec = os.environ.get("IMNF_SOLVER_PRECISION", "tensorfloat32")
+        with jax.default_matmul_precision(prec):
+            x_embed = flat(apply_x(vx, x)) + flat(x)
+            g = lambda zf: x_embed - flat(apply_z(vz, unflat(zf))) - zf
+            banach_g = lambda zf: x_embed - flat(apply_z(vz, unflat(zf)))
+            z0 = flat(jax.lax.stop_gradient(x)) if cfg.warm_start else jnp.zeros_like(flat(x))
+            zf, res = root_solve(
+                g, banach_g, z0,
+                threshold=cfg.threshold, eps=cfg.eps_forward,
+                banach_x0=flat(jax.lax.stop_gradient(x)),
+                banach_threshold=cfg.banach_threshold,
+                stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
+            )
         # First-class solver telemetry (BASELINE.md: Broyden iters-to-converge
         # tracked as a metric; reference only surfaces it on failure,
         # broyden.py:165-172): [nstep, mean converged, any prot_break].
@@ -278,17 +287,19 @@ class ImplicitBlock(Flow):
         B = z.shape[0]
         flat = lambda a: a.reshape(B, -1)
         unflat = lambda a: a.reshape(z.shape)
-        z_embed = flat(self.nnet_z.apply(vz, z)) + flat(z)
-        g = lambda xf: z_embed - flat(self.nnet_x.apply(vx, unflat(xf))) - xf
-        banach_g = lambda xf: z_embed - flat(self.nnet_x.apply(vx, unflat(xf)))
-        x0 = flat(z) if self.solver_cfg.warm_start else jnp.zeros_like(flat(z))
-        xf, _ = root_solve(
-            g, banach_g, x0,
-            threshold=self.solver_cfg.threshold, eps=self.solver_cfg.eps_sample,
-            banach_x0=flat(z), banach_threshold=self.solver_cfg.banach_threshold,
-            stall_patience=self.solver_cfg.stall_patience,
-            stall_rtol=self.solver_cfg.stall_rtol,
-        )
+        prec = os.environ.get("IMNF_SOLVER_PRECISION", "tensorfloat32")
+        with jax.default_matmul_precision(prec):
+            z_embed = flat(self.nnet_z.apply(vz, z)) + flat(z)
+            g = lambda xf: z_embed - flat(self.nnet_x.apply(vx, unflat(xf))) - xf
+            banach_g = lambda xf: z_embed - flat(self.nnet_x.apply(vx, unflat(xf)))
+            x0 = flat(z) if self.solver_cfg.warm_start else jnp.zeros_like(flat(z))
+            xf, _ = root_solve(
+                g, banach_g, x0,
+                threshold=self.solver_cfg.threshold, eps=self.solver_cfg.eps_sample,
+                banach_x0=flat(z), banach_threshold=self.solver_cfg.banach_threshold,
+                stall_patience=self.solver_cfg.stall_patience,
+                stall_rtol=self.solver_cfg.stall_rtol,
+            )
         x = unflat(xf)
         if logpz is None:
             return x, None
