@@ -147,20 +147,24 @@ def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
         # solve's f32 state and the final re-attachment VJP are unaffected);
         # measured bpd identical with an 8% step cut. IMNF_BF16_BWD=0 restores
         # f32.
-        if os.environ.get("IMNF_BF16_BWD", "1") != "0":
+        bwd_mode = os.environ.get("IMNF_BWD_PRECISION", "bf16")
+        if bwd_mode == "bf16":
             vz_bf = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16) if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
                 vz_sg)
             Fz = lambda zz: (apply_z(vz_bf, zz.astype(jnp.bfloat16)).astype(jnp.float32) + zz)
         else:
             Fz = lambda zz: apply_z(vz_sg, zz) + zz
-        _, vjp_z = jax.vjp(Fz, jax.lax.stop_gradient(z))
-        gfun = lambda uf: flat(vjp_z(unflat(uf))[0]) - flat(grad)
-        ures = broyden_solve(
-            gfun, jnp.zeros_like(flat(grad)),
-            threshold=cfg.threshold, eps=cfg.eps_backward,
-            stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
-        )
+        with jax.default_matmul_precision(
+                "tensorfloat32" if bwd_mode == "tf32" else "bfloat16"
+                if bwd_mode == "bf16" else "float32"):
+            _, vjp_z = jax.vjp(Fz, jax.lax.stop_gradient(z))
+            gfun = lambda uf: flat(vjp_z(unflat(uf))[0]) - flat(grad)
+            ures = broyden_solve(
+                gfun, jnp.zeros_like(flat(grad)),
+                threshold=cfg.threshold, eps=cfg.eps_backward,
+                stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
+            )
         if os.environ.get("IMNF_DEBUG_SOLVER") == "1":
             jax.debug.print(
                 "bwd solve: nstep={n} best={b:.3e} eps={e:.3e}",
