@@ -120,3 +120,13 @@ def test_image_train_step_accum(tiny_model):
         params, state, opt_state, shadow, x_u8, y, jax.random.PRNGKey(8), jnp.ones(())
     )
     assert np.isfinite(float(m["loss"]))
+
+
+def test_jit_init_and_init_with_batch(tiny_model):
+    """The whole init must stay jittable — the TPU tunnel charges a slow RPC
+    per dispatched program, so bench/entry run init as ONE program."""
+    model, v, x = tiny_model
+    v1 = jax.jit(model.init)(jax.random.PRNGKey(42), x)
+    v2 = jax.jit(model.init_with_batch)(v1, x, rng=jax.random.PRNGKey(43))
+    z, delta, _ = model.forward(v2, x, jnp.zeros((x.shape[0],)), rng=jax.random.PRNGKey(44))
+    assert np.isfinite(np.asarray(delta)).all()

@@ -129,3 +129,36 @@ def test_geometric_1mcdf_values():
     ks = jnp.arange(1, 5)
     vals = geometric_1mcdf(0.5, ks, 0)
     np.testing.assert_allclose(np.asarray(vals), [1.0, 0.5, 0.25, 0.125])
+
+
+def test_poisson_coeffs_match_reference_formula():
+    """P(n >= k) for Poisson must match the reference's scalar recursion
+    (implicit_block.py:474-483)."""
+    import math
+
+    from implicit_normalizing_flows_tpu.ops.logdet import poisson_1mcdf
+
+    lamb, offset, cap = 2.0, 3, 12
+
+    def ref_1mcdf(k):
+        if k <= offset:
+            return 1.0
+        kk = k - offset
+        s = 1.0
+        for i in range(1, kk):
+            s += lamb ** i / math.factorial(i)
+        return 1.0 - np.exp(-lamb) * s
+
+    ks = jnp.arange(1, cap + 1)
+    ours = poisson_1mcdf(lamb, ks, offset, cap)
+    expect = np.array([ref_1mcdf(int(k)) for k in ks])
+    np.testing.assert_allclose(np.asarray(ours), expect, rtol=1e-5, atol=1e-6)
+
+
+def test_sample_n_dist_poisson_runs():
+    cfg = LogdetConfig(n_dist="poisson", n_exact_terms=2, series_cap=16)
+    coeffs, n_power, n_samples = sample_n_dist(
+        jax.random.PRNGKey(3), cfg, 0.5, 2.0, train=True
+    )
+    assert np.isfinite(np.asarray(coeffs)).all()
+    np.testing.assert_allclose(np.asarray(coeffs[:2]), 1.0)
