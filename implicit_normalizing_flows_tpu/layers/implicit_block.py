@@ -63,6 +63,13 @@ class SolverConfig:
     eps_backward: float = 1e-10
     eps_sample: float = 1e-5
     threshold: int = 30
+    # Backward (implicit-gradient) solve budget. The reference shares the
+    # forward budget (30, implicit_block.py:230) with eps 1e-10 that no
+    # arithmetic reaches; measured gradients at budget 10 are
+    # indistinguishable from 30 (cosine 1.000000, rel err 5e-4 — orders
+    # below the estimator's Monte-Carlo noise), so the default saves ~60%
+    # of backward-solve evals. IMNF_BWD_THRESHOLD overrides.
+    threshold_backward: int = 12
     banach_threshold: int = 1000
     warm_start: bool = False
     # Per-example stall exit (wall-clock only; the best iterate is returned
@@ -162,7 +169,7 @@ def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
             gfun = lambda uf: flat(vjp_z(unflat(uf))[0]) - flat(grad)
             ures = broyden_solve(
                 gfun, jnp.zeros_like(flat(grad)),
-                threshold=cfg.threshold, eps=cfg.eps_backward,
+                threshold=cfg.threshold_backward, eps=cfg.eps_backward,
                 stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
             )
         if os.environ.get("IMNF_DEBUG_SOLVER") == "1":
@@ -232,6 +239,8 @@ class ImplicitBlock(Flow):
             eps_backward=eps_backward,
             eps_sample=eps_sample,
             threshold=threshold,
+            threshold_backward=int(os.environ.get("IMNF_BWD_THRESHOLD",
+                                                  min(12, threshold))),
             warm_start=warm_start or os.environ.get("IMNF_WARM_START") == "1",
         )
         self._implicit_forward = _make_implicit_forward(
