@@ -6,7 +6,6 @@ to -mean, log-scale to ``-0.5 log(max(var, 0.2))`` from the init batch.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .protocol import Flow, make_vars

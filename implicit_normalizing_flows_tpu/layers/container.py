@@ -1,7 +1,6 @@
 """Flow containers (reference: ``lib/layers/container.py``)."""
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .protocol import Flow, Variables, fold_rng, make_vars

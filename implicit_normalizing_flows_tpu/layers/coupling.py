@@ -5,7 +5,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .protocol import Flow, make_vars
+from .protocol import Flow
 
 
 def checkerboard_mask(shape, swap=False, dtype=jnp.float32):

@@ -36,7 +36,6 @@ values into ``apply``; a layer built with ``learn_p=True`` maps them through
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,12 +14,11 @@ between consecutive layers (``implicit_flow.py:365-366``,
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 
-from .activations import Activation
 from .protocol import fold_rng, make_vars
 
 

@@ -20,7 +20,7 @@ uniform protocol ``forward(x, logpx=None[, restore]) -> y[, logpy]`` /
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

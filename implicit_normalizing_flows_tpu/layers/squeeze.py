@@ -1,8 +1,6 @@
 """Space-to-depth squeeze (reference: ``lib/layers/squeeze.py``)."""
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from .protocol import Flow
 
 

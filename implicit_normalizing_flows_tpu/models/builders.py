@@ -5,8 +5,6 @@
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..layers import (
     ACT_FNS,
     ActNorm1d,

@@ -8,7 +8,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..layers import ImplicitBlock, IResBlock, LipschitzNet, ReLU, get_conv
+from ..layers import ImplicitBlock, LipschitzNet, ReLU, get_conv
 from ..layers.protocol import fold_rng, make_vars
 from .modules import PlainConv2d, PlainDense
 

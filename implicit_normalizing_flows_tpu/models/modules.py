@@ -6,7 +6,6 @@ from __future__ import annotations
 import math
 
 import jax
-import jax.numpy as jnp
 
 from ..layers.protocol import make_vars
 from ..ops.power_iter import conv_apply

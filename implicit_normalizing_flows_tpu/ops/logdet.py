@@ -34,7 +34,6 @@ TPU-first differences:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable
 
 import jax

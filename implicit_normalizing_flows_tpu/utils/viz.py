@@ -6,11 +6,8 @@ density evaluated by the forward transform + change of variables on a grid
 """
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 

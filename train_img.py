@@ -32,7 +32,6 @@ from implicit_normalizing_flows_tpu.models import ImplicitFlow
 from implicit_normalizing_flows_tpu.training import (
     adam,
     adamax,
-    ema_apply,
     ema_init,
     linear_warmup,
     load_checkpoint,

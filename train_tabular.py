@@ -30,7 +30,6 @@ from implicit_normalizing_flows_tpu.training import (
     rmsprop,
     save_most_recent,
 )
-from implicit_normalizing_flows_tpu.layers.protocol import make_vars
 from implicit_normalizing_flows_tpu.utils import RunningAverageMeter, get_logger, makedirs
 
 ACTS = ["identity", "relu", "tanh", "elu", "selu", "fullsort", "maxmin", "swish", "lcube", "sin", "zero"]

@@ -9,7 +9,6 @@ post-step Lipschitz power iteration and EMA. Run e.g.:
       --batch_size 5000 --coeff 0.99 --n-lipschitz-iters 20
 """
 import argparse
-import math
 import os
 import time
 
@@ -22,7 +21,6 @@ from implicit_normalizing_flows_tpu.data import inf_train_gen
 from implicit_normalizing_flows_tpu.models import build_toy_model
 from implicit_normalizing_flows_tpu.training import (
     adam,
-    ema_apply,
     ema_init,
     linear_warmup,
     load_checkpoint,
