@@ -26,12 +26,12 @@ def fused_update_supported(bsz: int, dim: int, k: int) -> bool:
 
 def _kernel(col_ref, us_ref, vts_ref, dx_ref, dgx_ref, gx_ref, act_ref,
             us_out_ref, vts_out_ref, upd_ref):
-    us = us_ref[0]          # (D, K)
-    vts = vts_ref[0]        # (K, D)
-    dx = dx_ref[0][:, None]    # (D, 1)
-    dgx = dgx_ref[0][:, None]  # (D, 1)
-    gx = gx_ref[0][:, None]    # (D, 1)
-    active = act_ref[0, 0]
+    us = us_ref[0]             # (D, K)
+    vts = vts_ref[0]           # (K, D)
+    dx = dx_ref[0, 0][:, None]    # (D, 1)
+    dgx = dgx_ref[0, 0][:, None]  # (D, 1)
+    gx = gx_ref[0, 0][:, None]    # (D, 1)
+    active = act_ref[0, 0, 0]
     col = col_ref[0]
 
     f32 = jnp.float32
@@ -59,7 +59,7 @@ def _kernel(col_ref, us_ref, vts_ref, dx_ref, dgx_ref, gx_ref, act_ref,
     vts_out_ref[0] = vts
     us_out_ref[0, :, col] = u
     vts_out_ref[0, col, :] = vT
-    upd_ref[0] = -matvec_gx - u * jnp.sum(vT * gx[:, 0])
+    upd_ref[0, 0] = -matvec_gx - u * jnp.sum(vT * gx[:, 0])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -71,7 +71,11 @@ def fused_broyden_update(Us, VTs, delta_x, delta_gx, gx, active, col,
     from jax.experimental.pallas import tpu as pltpu
 
     B, D, K = Us.shape
-    act_f = active.astype(jnp.float32).reshape(B, 1)
+    # Mosaic block rule: the last two block dims must be divisible by (8,
+    # 128) or equal the array dims — so vectors carry a singleton sublane
+    # axis (B, 1, D) and use full-row blocks.
+    vec = lambda a: a.reshape(B, 1, D)
+    act_f = active.astype(jnp.float32).reshape(B, 1, 1)
     col_arr = jnp.asarray([col], jnp.int32).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -80,25 +84,26 @@ def fused_broyden_update(Us, VTs, delta_x, delta_gx, gx, active, col,
         in_specs=[
             pl.BlockSpec((1, D, K), lambda i, c: (i, 0, 0)),
             pl.BlockSpec((1, K, D), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, D), lambda i, c: (i, 0)),
-            pl.BlockSpec((1, D), lambda i, c: (i, 0)),
-            pl.BlockSpec((1, D), lambda i, c: (i, 0)),
-            pl.BlockSpec((1, 1), lambda i, c: (i, 0)),
+            pl.BlockSpec((1, 1, D), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i, c: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, D, K), lambda i, c: (i, 0, 0)),
             pl.BlockSpec((1, K, D), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, D), lambda i, c: (i, 0)),
+            pl.BlockSpec((1, 1, D), lambda i, c: (i, 0, 0)),
         ],
     )
     out_shape = [
         jax.ShapeDtypeStruct(Us.shape, Us.dtype),
         jax.ShapeDtypeStruct(VTs.shape, VTs.dtype),
-        jax.ShapeDtypeStruct(gx.shape, gx.dtype),
+        jax.ShapeDtypeStruct((B, 1, D), gx.dtype),
     ]
-    return pl.pallas_call(
+    us2, vts2, upd = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(col_arr, Us, VTs, delta_x, delta_gx, gx, act_f)
+    )(col_arr, Us, VTs, vec(delta_x), vec(delta_gx), vec(gx), act_f)
+    return us2, vts2, upd.reshape(B, D)
