@@ -55,10 +55,13 @@ def _kernel(col_ref, us_ref, vts_ref, dx_ref, dgx_ref, gx_ref, act_ref,
     vT = jnp.where(jnp.isfinite(vT), vT, 0.0) * active
     u = jnp.where(jnp.isfinite(u), u, 0.0) * active
 
-    us_out_ref[0] = us
-    vts_out_ref[0] = vts
-    us_out_ref[0, :, col] = u
-    vts_out_ref[0, col, :] = vT
+    # Mosaic cannot store at a dynamic lane index; the target column/row is
+    # zero by construction (each K-slot written exactly once), so a masked
+    # outer-product add is an exact equivalent of the dynamic set.
+    K = us.shape[1]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) == col).astype(us.dtype)
+    us_out_ref[0] = us + u[:, None] * onehot              # (D, K)
+    vts_out_ref[0] = vts + onehot.reshape(K, 1) * vT[None, :]  # (K, D)
     upd_ref[0, 0] = -matvec_gx - u * jnp.sum(vT * gx[:, 0])
 
 
