@@ -45,8 +45,10 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", 20))
     size = 32
 
+    # run_cifar10.sh recipe exactly: adaptive power iteration
+    # (n-lipschitz-iters None, sn-tol 1e-3 — train_img.py defaults)
     model = _build([2, 2, 2], 512, size, batch, n_exact_terms=10,
-                   coeff=0.9, fc_end=False, n_lip_iters=5)
+                   coeff=0.9, fc_end=False, n_lip_iters=None, sn_tol=1e-3)
     x0 = jax.random.uniform(jax.random.PRNGKey(0), (batch, 3, size, size),
                             minval=0.05, maxval=0.95)
     # Whole init as ONE jitted program: the tunnel backend charges a slow
@@ -59,7 +61,7 @@ def main():
     opt_state = optimizer.init(params)
     shadow = ema_init(params)
     step = make_image_step(model, optimizer, im_dim=3, imagesize=size,
-                           task="density", n_lipschitz_iters=5)
+                           task="density", n_lipschitz_iters=None)
 
     rng_np = np.random.RandomState(0)
     x_u8 = jnp.asarray(rng_np.randint(0, 256, size=(batch, 3, size, size), dtype=np.uint8))
