@@ -344,6 +344,13 @@ class ImplicitBlock(Flow):
         P = max(1, cfg.n_probes)
         vareps_x = ld.sample_rademacher(k_ex, (P,) + x.shape, x.dtype)
         vareps_z = ld.sample_rademacher(k_ez, (P,) + z.shape, z.dtype)
+        # Multi-chip: probes are embarrassingly parallel — pin the probe axis
+        # to the mesh 'trace' axis (no-op without an active mesh) so each
+        # chip runs its own estimator chains and only the final probe-mean
+        # crosses ICI.
+        from ..parallel.mesh import constrain_probe_axis
+        vareps_x = constrain_probe_axis(vareps_x)
+        vareps_z = constrain_probe_axis(vareps_z)
         neumann = train and cfg.neumann_grad
 
         if cfg.exact_trace:

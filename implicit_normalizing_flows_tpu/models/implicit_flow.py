@@ -188,6 +188,7 @@ class StackedImplicitBlocks(SequentialFlow):
         grad_in_forward=False,
         first_resblock=True,
         learn_p=False,
+        n_probes=1,
     ):
         chain = []
         domains, codomains = parse_vnorms(vnorms)
@@ -208,7 +209,7 @@ class StackedImplicitBlocks(SequentialFlow):
             common = dict(
                 n_power_series=n_power_series, n_dist=n_dist, n_samples=n_samples,
                 n_exact_terms=n_exact_terms, neumann_grad=neumann_grad,
-                grad_in_forward=grad_in_forward,
+                grad_in_forward=grad_in_forward, n_probes=n_probes,
             )
             if fc_:
                 nhidden = len(kernels.split("-")) - 1
@@ -299,6 +300,7 @@ class ImplicitFlow:
         grad_in_forward=False,
         first_resblock=True,
         learn_p=False,
+        n_probes=1,
         classification=False,
         classification_hdim=64,
         n_classes=10,
@@ -345,6 +347,7 @@ class ImplicitFlow:
                 grad_in_forward=grad_in_forward,
                 first_resblock=first_resblock and (i == 0),
                 learn_p=learn_p,
+                n_probes=n_probes,
             ))
             c, h, w = c * 2 if factor_out else c * 4, h // 2, w // 2
         self.transforms = transforms

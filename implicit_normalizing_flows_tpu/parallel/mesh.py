@@ -49,3 +49,28 @@ def place_batch(mesh: Mesh, x):
 def place_replicated(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+def constrain_probe_axis(arr):
+    """Shard a (P, B, ...) Hutchinson-probe array over the mesh 'trace' axis.
+
+    The ``n_probes`` axis is embarrassingly parallel — each probe runs an
+    independent estimator chain and only the final mean couples them (one
+    tiny ICI all-reduce). Called inside jit on the sampled Rademacher
+    tensors; a no-op unless the caller activated a mesh carrying a 'trace'
+    axis (``jax.sharding.set_mesh(make_mesh(...))``) whose sizes divide the
+    probe/batch axes, so single-mesh and mesh-free runs are untouched.
+    """
+    from jax.sharding import PartitionSpec, get_abstract_mesh
+
+    m = get_abstract_mesh()
+    names = getattr(m, "axis_names", ())
+    if "trace" not in names:
+        return arr
+    shape = dict(m.shape)
+    if shape.get("trace", 1) <= 1 or arr.shape[0] % shape["trace"] != 0:
+        return arr
+    batch = "data" if ("data" in names and arr.ndim > 1
+                       and arr.shape[1] % shape.get("data", 1) == 0) else None
+    spec = PartitionSpec("trace", batch, *([None] * (arr.ndim - 2)))
+    return jax.lax.with_sharding_constraint(arr, spec)
