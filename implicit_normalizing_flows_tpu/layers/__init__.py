@@ -1,5 +1,5 @@
 from .protocol import Flow, Inverse, Variables, make_vars  # noqa: F401
-from .container import SequentialFlow  # noqa: F401
+from .container import ScanRepeat, SequentialFlow  # noqa: F401
 from .actnorm import ActNorm1d, ActNorm2d  # noqa: F401
 from .normalization import MovingBatchNorm1d, MovingBatchNorm2d  # noqa: F401
 from .elemwise import LogitTransform, Normalize, ZeroMeanTransform  # noqa: F401

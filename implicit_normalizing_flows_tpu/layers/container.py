@@ -1,6 +1,7 @@
 """Flow containers (reference: ``lib/layers/container.py``)."""
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .protocol import Flow, Variables, fold_rng, make_vars
@@ -89,4 +90,133 @@ class SequentialFlow(Flow):
         out = []
         for i, layer in enumerate(self.chain):
             out.extend(layer.ords(self.child_vars(variables, i)))
+        return out
+
+
+def _slice_vars(stacked, i):
+    return jax.tree.map(lambda a: a[i], stacked)
+
+
+class ScanRepeat(Flow):
+    """``n`` copies of one structurally identical flow unit, executed as a
+    single ``lax.scan`` over stacked per-copy variables.
+
+    The reference's deep same-scale stacks (``n_blocks`` imBlocks per scale,
+    implicit_flow.py:64-97; the CIFAR default is 16-16-16) unroll the block
+    body N times through autograd. Under XLA that unrolling is paid at
+    *compile* time: N structurally identical solve+estimator programs. Since
+    every repeat at a scale shares one structure (same nets, same shapes),
+    the TPU-native form stacks their params/state on a leading axis and scans
+    — program size and compile time O(1) in depth, identical math per slice.
+
+    The per-copy RNG is ``fold_rng(rng, i)`` with the scan index, matching
+    what a hand-written loop over the same unit would draw (tests assert
+    exact agreement with that loop).
+    """
+
+    def __init__(self, unit: Flow, n: int):
+        assert n >= 1
+        self.unit = unit
+        self.n = int(n)
+
+    # ---- construction ----
+    def init(self, rng, x):
+        # Scan units are shape-preserving by construction (fixed scan
+        # carry), and parameter init consumes only shapes — so every slice
+        # initialises against the same example batch and the whole stack is
+        # ONE vmap over per-slice keys (O(1) program size, vs tracing n
+        # separate unit inits).
+        idx = jnp.arange(self.n)
+        return jax.vmap(lambda i: self.unit.init(fold_rng(rng, i), x))(idx)
+
+    def init_forward(self, variables, x, rng=None):
+        def body(x, sl):
+            v, i = sl
+            return self.unit.init_forward(v, x, rng=fold_rng(rng, i)), None
+        x, _ = jax.lax.scan(body, x, (variables, jnp.arange(self.n)))
+        return x
+
+    def init_with_batch(self, variables, x, rng=None):
+        # Data-dependent init is inherently sequential (each slice sees the
+        # activations of the already-initialised prefix) — expressed as a
+        # scan with the activations as carry so the traced program stays
+        # O(1) in depth.
+        def body(x, sl):
+            v, i = sl
+            v = self.unit.init_with_batch(
+                v, x, rng=fold_rng(rng, i) if rng is not None else None)
+            x, _, _ = self.unit.forward(
+                v, x, None,
+                rng=fold_rng(rng, 10_000 + i) if rng is not None else None)
+            return x, v
+        _, out = jax.lax.scan(body, x, (variables, jnp.arange(self.n)))
+        return out
+
+    # ---- the flow protocol ----
+    def forward(self, variables, x, logpx=None, *, rng=None, train=False):
+        unit, idx = self.unit, jnp.arange(self.n)
+        if logpx is None:
+            def body(x, sl):
+                v, i = sl
+                y, _, s = unit.forward(v, x, None, rng=fold_rng(rng, i),
+                                       train=train)
+                return y, s
+            y, new_state = jax.lax.scan(body, x, (variables, idx))
+            return y, None, new_state
+
+        def body(carry, sl):
+            x, lp = carry
+            v, i = sl
+            y, lp, s = unit.forward(v, x, lp, rng=fold_rng(rng, i),
+                                    train=train)
+            return (y, lp), s
+        (y, logpy), new_state = jax.lax.scan(body, (x, logpx), (variables, idx))
+        return y, logpy, new_state
+
+    def inverse(self, variables, y, logpy=None, *, rng=None):
+        unit, idx = self.unit, jnp.arange(self.n)
+        if logpy is None:
+            def body(y, sl):
+                v, i = sl
+                x, _ = unit.inverse(v, y, None, rng=fold_rng(rng, i))
+                return x, None
+            x, _ = jax.lax.scan(body, y, (variables, idx), reverse=True)
+            return x, None
+
+        def body(carry, sl):
+            y, lp = carry
+            v, i = sl
+            x, lp = unit.inverse(v, y, lp, rng=fold_rng(rng, i))
+            return (x, lp), None
+        (x, logpx), _ = jax.lax.scan(body, (y, logpy), (variables, idx),
+                                     reverse=True)
+        return x, logpx
+
+    # ---- out-of-band maintenance ----
+    def update_lipschitz(self, variables, n_iterations=None):
+        # Slices are independent; scan (not vmap) keeps per-slice convs in
+        # their native layout — vmapping conv kernels lowers to grouped
+        # convolutions with worse MXU layouts.
+        def body(_, v):
+            return None, self.unit.update_lipschitz(v, n_iterations)
+        _, out = jax.lax.scan(body, None, variables)
+        return out
+
+    def lipschitz_sigmas(self, variables):
+        out = []
+        for i in range(self.n):
+            out.extend(self.unit.lipschitz_sigmas(_slice_vars(variables, i)))
+        return out
+
+    def lipschitz_one_iter(self, variables):
+        total, count = jnp.zeros(()), 0
+        for i in range(self.n):
+            t, c = self.unit.lipschitz_one_iter(_slice_vars(variables, i))
+            total, count = total + t, count + c
+        return total, count
+
+    def ords(self, variables):
+        out = []
+        for i in range(self.n):
+            out.extend(self.unit.ords(_slice_vars(variables, i)))
         return out

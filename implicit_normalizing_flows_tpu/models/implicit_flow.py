@@ -27,6 +27,7 @@ from ..layers import (
     InvertibleLinear,
     LipschitzNet,
     MovingBatchNorm2d,
+    ScanRepeat,
     SequentialFlow,
     SqueezeLayer,
     get_conv,
@@ -189,6 +190,7 @@ class StackedImplicitBlocks(SequentialFlow):
         first_resblock=True,
         learn_p=False,
         n_probes=1,
+        scan_blocks=False,
     ):
         chain = []
         domains, codomains = parse_vnorms(vnorms)
@@ -234,25 +236,39 @@ class StackedImplicitBlocks(SequentialFlow):
         if first_resblock and fc_actnorm:
             chain.append(_actnorm(initial_size, True))
 
+        def _unit_layers(first):
+            """One repeat of the per-scale pattern (quadratic? block actnorm?
+            fc_actnorm?)."""
+            items = []
+            if quadratic:
+                items.append(_quadratic_layer(initial_size, fc))
+            items.append(_resblock(initial_size, fc, first=first))
+            if actnorm:
+                items.append(_actnorm(initial_size, fc))
+            if fc_actnorm:
+                items.append(_actnorm(initial_size, True))
+            return items
+
+        def _emit_blocks():
+            """All n_blocks repeats at this scale. With ``scan_blocks`` the
+            structurally identical tail collapses into one ScanRepeat (the
+            reference unrolls all N — implicit_flow.py:64-97; scanning keeps
+            program size / compile time O(1) in depth). The first repeat
+            stays eager when ``first_resblock`` since it lacks the preact
+            prefix (build_nnet, implicit_flow.py:370-373)."""
+            n_eager = (1 if first_resblock else 0) if scan_blocks else n_blocks
+            for i in range(min(n_eager, n_blocks)):
+                chain.extend(_unit_layers(first=first_resblock and i == 0))
+            n_tail = n_blocks - min(n_eager, n_blocks)
+            if n_tail > 0:
+                chain.append(ScanRepeat(
+                    SequentialFlow(_unit_layers(first=False)), n_tail))
+
         if squeeze:
-            for i in range(n_blocks):
-                if quadratic:
-                    chain.append(_quadratic_layer(initial_size, fc))
-                chain.append(_resblock(initial_size, fc, first=first_resblock and (i == 0)))
-                if actnorm:
-                    chain.append(_actnorm(initial_size, fc))
-                if fc_actnorm:
-                    chain.append(_actnorm(initial_size, True))
+            _emit_blocks()
             chain.append(SqueezeLayer(2))
         else:
-            for i in range(n_blocks):
-                if quadratic:
-                    chain.append(_quadratic_layer(initial_size, fc))
-                chain.append(_resblock(initial_size, fc, first=first_resblock and (i == 0)))
-                if actnorm:
-                    chain.append(_actnorm(initial_size, fc))
-                if fc_actnorm:
-                    chain.append(_actnorm(initial_size, True))
+            _emit_blocks()
             if fc_end:
                 for _ in range(fc_nblocks):
                     chain.append(_resblock(initial_size, True, fc_idim))
@@ -301,6 +317,7 @@ class ImplicitFlow:
         first_resblock=True,
         learn_p=False,
         n_probes=1,
+        scan_blocks=False,
         classification=False,
         classification_hdim=64,
         n_classes=10,
@@ -348,6 +365,7 @@ class ImplicitFlow:
                 first_resblock=first_resblock and (i == 0),
                 learn_p=learn_p,
                 n_probes=n_probes,
+                scan_blocks=scan_blocks,
             ))
             c, h, w = c * 2 if factor_out else c * 4, h // 2, w // 2
         self.transforms = transforms

@@ -43,7 +43,8 @@ def solver_stats(state):
     visit(state)
     if not diags:
         return {}
-    d = jnp.stack(diags)
+    # ScanRepeat stacks per-slice diags to (n, 3); flatten before pooling.
+    d = jnp.concatenate([jnp.reshape(x, (-1, 3)) for x in diags])
     return {
         "broyden_nstep": jnp.mean(d[:, 0]),
         "broyden_converged": jnp.mean(d[:, 1]),
