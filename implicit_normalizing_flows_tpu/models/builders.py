@@ -13,6 +13,7 @@ from ..layers import (
     IResBlock,
     LipschitzNet,
     MovingBatchNorm1d,
+    ScanRepeat,
     SequentialFlow,
     get_dense,
 )
@@ -54,6 +55,21 @@ def build_coupling_mlp(dims_in, hidden, dims_out, activation="relu"):
     return LipschitzNet(items)
 
 
+def _repeat_unit(unit_fns, n, scan):
+    """``n`` copies of the [layer-constructor...] unit. With ``scan`` the
+    copies run as ONE ``ScanRepeat`` (lax.scan over stacked per-copy
+    variables): program size / compile time O(1) in ``n``, math identical
+    per slice (tests/test_scan_blocks.py)."""
+    if scan:
+        layers = [fn() for fn in unit_fns]
+        unit = layers[0] if len(layers) == 1 else SequentialFlow(layers)
+        return [ScanRepeat(unit, n)]
+    out = []
+    for _ in range(n):
+        out.extend(fn() for fn in unit_fns)
+    return out
+
+
 def build_toy_model(
     arch="implicit",
     data_dim=2,
@@ -74,8 +90,11 @@ def build_toy_model(
     n_power_series=None,
     n_samples=1,
     n_dist="geometric",
+    scan_blocks=False,
 ):
-    """train_toy.py:200-250."""
+    """train_toy.py:200-250. ``scan_blocks`` folds the repeated block unit
+    into one ``ScanRepeat`` (lax.scan over stacked variables) — program size
+    and compile time O(1) in ``nblocks``, math identical per slice."""
     hidden = list(map(int, dims.split("-")))
     full_dims = [data_dim] + hidden + [data_dim]
     domains, codomains = parse_vnorms(vnorms)
@@ -91,27 +110,34 @@ def build_toy_model(
     if arch == "implicit":
         if actnorm:
             blocks.append(ActNorm1d(data_dim))
-        for _ in range(nblocks):
-            blocks.append(ImplicitBlock(
+
+        def mk_block():
+            return ImplicitBlock(
                 mk_net(), mk_net(),
                 n_dist=n_dist, n_power_series=n_power_series,
                 exact_trace=exact_trace, brute_force=brute_force,
                 n_samples=n_samples, neumann_grad=False, grad_in_forward=False,
-            ))
+            )
+
+        blocks.extend(_repeat_unit([mk_block], nblocks, scan_blocks))
     elif arch == "iresnet":
         if actnorm:
             blocks.append(ActNorm1d(data_dim))
-        for _ in range(nblocks):
-            blocks.append(IResBlock(
+
+        def mk_block():
+            return IResBlock(
                 mk_net(),
                 n_dist=n_dist, n_power_series=n_power_series,
                 exact_trace=exact_trace, brute_force=brute_force,
                 n_samples=n_samples, neumann_grad=False, grad_in_forward=False,
-            ))
-            if actnorm:
-                blocks.append(ActNorm1d(data_dim))
-            if batchnorm:
-                blocks.append(MovingBatchNorm1d(data_dim))
+            )
+
+        unit_fns = [mk_block]
+        if actnorm:
+            unit_fns.append(lambda: ActNorm1d(data_dim))
+        if batchnorm:
+            unit_fns.append(lambda: MovingBatchNorm1d(data_dim))
+        blocks.extend(_repeat_unit(unit_fns, nblocks, scan_blocks))
     elif arch == "realnvp":
         for _ in range(nblocks):
             blocks.append(CouplingBlock(
@@ -146,10 +172,12 @@ def build_tabular_model(
     n_samples=1,
     n_dist="geometric",
     eps_forward=1e-6,
+    scan_blocks=False,
 ):
     """train_tabular.py:292-336 — flat chain of FC implicit blocks; the
     builder disables neumann/mem-eff so the logged loss is the true NLL
-    (train_tabular.py:330-331)."""
+    (train_tabular.py:330-331). ``scan_blocks`` folds the nblocks-deep stack
+    (recipe default 20) into one ScanRepeat."""
     hidden = list(map(int, dims.split("-")))
     full_dims = [data_dim] + hidden + [data_dim]
     domains, codomains = parse_vnorms(vnorms)
@@ -161,19 +189,23 @@ def build_tabular_model(
             learn_p=learn_p,
         )
 
-    blocks = []
-    if actnorm:
-        blocks.append(ActNorm1d(data_dim))
-    for _ in range(nblocks):
-        blocks.append(ImplicitBlock(
+    def mk_block():
+        return ImplicitBlock(
             mk_net(), mk_net(),
             n_dist=n_dist, n_power_series=n_power_series,
             exact_trace=exact_trace, brute_force=brute_force,
             n_samples=n_samples, neumann_grad=False, grad_in_forward=False,
             eps_forward=eps_forward,
-        ))
-        if actnorm:
-            blocks.append(ActNorm1d(data_dim))
-        if batchnorm:
-            blocks.append(MovingBatchNorm1d(data_dim))
+        )
+
+    unit_fns = [mk_block]
+    if actnorm:
+        unit_fns.append(lambda: ActNorm1d(data_dim))
+    if batchnorm:
+        unit_fns.append(lambda: MovingBatchNorm1d(data_dim))
+
+    blocks = []
+    if actnorm:
+        blocks.append(ActNorm1d(data_dim))
+    blocks.extend(_repeat_unit(unit_fns, nblocks, scan_blocks))
     return SequentialFlow(blocks)

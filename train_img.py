@@ -81,6 +81,9 @@ def parse_args(argv=None):
     p.add_argument("--preact", type=eval, choices=[True, False], default=False)
     p.add_argument("--padding", type=int, default=0)
     p.add_argument("--first-resblock", type=eval, choices=[True, False], default=True)
+    p.add_argument("--scan-blocks", type=eval, choices=[True, False], default=False,
+                   help="fold each scale's repeated blocks into one lax.scan "
+                        "(O(1) compile time in depth; same math)")
     p.add_argument("--cdim", type=int, default=256)
     p.add_argument("--optimizer", type=str, choices=["adam", "adamax", "rmsprop", "sgd"], default="adam")
     p.add_argument("--nepochs", type=int, default=1000)
@@ -177,6 +180,7 @@ def build_model(args, im_dim, n_classes, init_layer, batchsize):
         neumann_grad=args.neumann_grad,
         grad_in_forward=args.mem_eff,
         first_resblock=args.first_resblock,
+        scan_blocks=args.scan_blocks,
         learn_p=args.learn_p,
         classification=args.task in ("classification", "hybrid"),
         classification_hdim=args.cdim,

@@ -53,6 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--act", type=str, choices=ACTS, default="swish")
     p.add_argument("--dims", type=str, default="128-128-128-128")
     p.add_argument("--nblocks", type=int, default=5)
+    p.add_argument("--scan-blocks", type=eval, choices=[True, False], default=False,
+                   help="fold the repeated block unit into one lax.scan "
+                        "(O(1) compile time in depth; same math)")
     p.add_argument("--optimizer", type=str, choices=["adam", "adamax", "rmsprop"], default="adam")
     p.add_argument("--nepochs", type=int, default=1000)
     p.add_argument("--batchsize", type=int, default=1000)
@@ -92,6 +95,7 @@ def main(argv=None):
         rtol=args.sn_tol, brute_force=args.brute_force,
         n_power_series=args.n_power_series, n_samples=args.n_samples,
         n_dist=args.n_dist, eps_forward=args.epsf,
+        scan_blocks=args.scan_blocks,
     )
 
     x0 = jnp.asarray(train_x[:args.batchsize])

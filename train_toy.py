@@ -51,6 +51,9 @@ def parse_args():
     parser.add_argument("--dims", type=str, default="128-128-128-128")
     parser.add_argument("--act", type=str, choices=ACTIVATIONS, default="sin")
     parser.add_argument("--nblocks", type=int, default=100)
+    parser.add_argument("--scan-blocks", type=eval, choices=[True, False], default=False,
+                        help="fold the repeated block unit into one lax.scan "
+                             "(O(1) compile time in depth; same math)")
     parser.add_argument("--brute-force", type=eval, choices=[True, False], default=False)
     parser.add_argument("--actnorm", type=eval, choices=[True, False], default=False)
     parser.add_argument("--batchnorm", type=eval, choices=[True, False], default=False)
@@ -90,6 +93,7 @@ def main():
         actnorm=args.actnorm, batchnorm=args.batchnorm,
         exact_trace=args.exact_trace, n_power_series=args.n_power_series,
         n_samples=args.n_samples, n_dist=args.n_dist,
+        scan_blocks=args.scan_blocks,
     )
 
     x0 = jnp.asarray(inf_train_gen(args.data, args.batch_size, np_rng))
