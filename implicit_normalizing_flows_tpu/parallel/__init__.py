@@ -2,6 +2,7 @@ from .mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
     place_batch,
+    place_batch_axis,
     place_replicated,
     replicated,
 )

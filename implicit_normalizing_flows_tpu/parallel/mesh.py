@@ -74,3 +74,11 @@ def constrain_probe_axis(arr):
                        and arr.shape[1] % shape.get("data", 1) == 0) else None
     spec = PartitionSpec("trace", batch, *([None] * (arr.ndim - 2)))
     return jax.lax.with_sharding_constraint(arr, spec)
+
+
+def place_batch_axis(mesh: Mesh, x, axis: int = 0):
+    """Shard one chosen axis over 'data' (e.g. axis=1 for the stacked
+    (accum, B, ...) microbatch layout of gradient accumulation)."""
+    spec = [None] * x.ndim
+    spec[axis] = "data"
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))

@@ -297,11 +297,18 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
         step = train_step
 
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from ..parallel.mesh import batch_sharding, replicated
 
         rep = replicated(mesh)
-        xs = batch_sharding(mesh, 4)
-        ys = batch_sharding(mesh, 1)
+        if accum_steps > 1 and optimizer is not None:
+            # stacked (accum, B, ...) microbatches: shard the batch axis (1)
+            xs = NamedSharding(mesh, P(None, "data", None, None, None))
+            ys = NamedSharding(mesh, P(None, "data"))
+        else:
+            xs = batch_sharding(mesh, 4)
+            ys = batch_sharding(mesh, 1)
         if optimizer is None:
             return jax.jit(step, in_shardings=(rep, rep, xs, ys, rep))
         return jax.jit(step, in_shardings=(rep, rep, rep, rep, xs, ys, rep, rep),

@@ -22,6 +22,12 @@ from implicit_normalizing_flows_tpu.data.images import (
     random_flip,
 )
 from implicit_normalizing_flows_tpu.layers.protocol import make_vars
+from implicit_normalizing_flows_tpu.parallel import (
+    make_mesh,
+    place_batch,
+    place_replicated,
+)
+from implicit_normalizing_flows_tpu.parallel.mesh import batch_sharding, replicated
 from implicit_normalizing_flows_tpu.models.classification import ImplicitResNet18, ResNet18
 from implicit_normalizing_flows_tpu.training import adam, ema_apply, ema_init
 from implicit_normalizing_flows_tpu.utils import RunningAverageMeter, get_logger, makedirs
@@ -38,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--weight-decay", "--wd", type=float, default=2e-4)
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--ndevices", type=int, default=None,
+                   help="data-parallel over the first N local devices "
+                        "(default: all; 1 disables the mesh)")
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--model-dir", default="./experiments/model-cifar-Resnet18")
     p.add_argument("--coeff", type=float, default=0.99)
@@ -105,6 +114,19 @@ def main(argv=None):
     opt_state = optimizer.init(params)
     shadow = ema_init(params)
 
+    # Data parallelism (reference: nn.DataParallel): batch over 'data',
+    # params replicated; the summed-CE gradient all-reduces by construction.
+    n_dev = args.ndevices if args.ndevices is not None else len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        if args.batch_size % n_dev:
+            raise SystemExit(f"--batch_size ({args.batch_size}) must be divisible "
+                             f"by the device count ({n_dev}); pass --ndevices.")
+        mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
+        logger.info(f"Data-parallel Mesh over {n_dev} devices")
+        params, state, opt_state, shadow = (
+            place_replicated(mesh, t) for t in (params, state, opt_state, shadow))
+
     def loss_fn(params, state, x, y, rng):
         logits = model.apply(make_vars(params, state), x, rng=rng, train=True)
         ce = -jnp.sum(jax.nn.log_softmax(logits) *
@@ -115,7 +137,6 @@ def main(argv=None):
     def make_train_step(lr):
         opt = make_optimizer(lr)
 
-        @jax.jit
         def train_step(params, state, opt_state, shadow, x_u8, y, rng):
             k1, k2 = jax.random.split(rng)
             x = (x_u8.astype(jnp.float32) + jax.random.uniform(k1, x_u8.shape)) / 256.0
@@ -128,15 +149,25 @@ def main(argv=None):
             shadow = ema_apply(shadow, params)
             return params, state, opt_state, shadow, ce, acc
 
-        return train_step
+        if mesh is not None:
+            rep = replicated(mesh)
+            return jax.jit(train_step, in_shardings=(
+                rep, rep, rep, rep, batch_sharding(mesh, 4),
+                batch_sharding(mesh, 1), rep))
+        return jax.jit(train_step)
 
-    @jax.jit
     def eval_step(params, state, x_u8, y, rng):
         x = (x_u8.astype(jnp.float32) + jax.random.uniform(rng, x_u8.shape)) / 256.0
         logits = model.apply(make_vars(params, state), x, train=False)
         ce = -jnp.sum(jax.nn.log_softmax(logits) * jax.nn.one_hot(y, n_classes))
         correct = jnp.sum((jnp.argmax(logits, 1) == y).astype(jnp.int32))
         return ce, correct
+
+    if mesh is not None:
+        _rep = replicated(mesh)
+        eval_step = jax.jit(eval_step, in_shardings=(_rep, _rep, _rep, _rep, _rep))
+    else:
+        eval_step = jax.jit(eval_step)
 
     loss_meter = RunningAverageMeter(0.97)
     time_meter = RunningAverageMeter(0.97)
@@ -161,9 +192,11 @@ def main(argv=None):
                 x_u8 = random_flip(x_u8, np_rng)
                 x_u8 = random_crop(x_u8, np_rng, 4, args.rcrop_pad_mode)
             key, sub = jax.random.split(key)
+            xb, yb = jnp.asarray(np.ascontiguousarray(x_u8)), jnp.asarray(y)
+            if mesh is not None:
+                xb, yb = place_batch(mesh, xb), place_batch(mesh, yb)
             params, state, opt_state, shadow, ce, acc = train_step(
-                params, state, opt_state, shadow,
-                jnp.asarray(np.ascontiguousarray(x_u8)), jnp.asarray(y), sub)
+                params, state, opt_state, shadow, xb, yb, sub)
             loss_meter.update(float(ce))
             time_meter.update(time.time() - end)
             end = time.time()
@@ -174,7 +207,10 @@ def main(argv=None):
         total_ce, total_correct, total_n, nb = 0.0, 0, 0, 0
         for x_u8, y in test_data.batches(args.test_batch_size, None, shuffle=False):
             key, sub = jax.random.split(key)
-            ce, correct = eval_step(shadow, state, jnp.asarray(x_u8), jnp.asarray(y), sub)
+            xe, ye = jnp.asarray(x_u8), jnp.asarray(y)
+            if mesh is not None:
+                xe, ye = place_replicated(mesh, xe), place_replicated(mesh, ye)
+            ce, correct = eval_step(shadow, state, xe, ye, sub)
             total_ce += float(ce)
             total_correct += int(correct)
             total_n += len(y)

@@ -29,6 +29,11 @@ from implicit_normalizing_flows_tpu.data.images import (
 from implicit_normalizing_flows_tpu.layers import LogitTransform, Normalize
 from implicit_normalizing_flows_tpu.layers.protocol import make_vars
 from implicit_normalizing_flows_tpu.models import ImplicitFlow
+from implicit_normalizing_flows_tpu.parallel import (
+    make_mesh,
+    place_batch_axis,
+    place_replicated,
+)
 from implicit_normalizing_flows_tpu.training import (
     adam,
     adamax,
@@ -97,6 +102,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--ema-val", type=eval, choices=[True, False], default=True)
     p.add_argument("--update-freq", type=int, default=1)
+    p.add_argument("--ndevices", type=int, default=None,
+                   help="data-parallel over the first N local devices "
+                        "(default: all; 1 disables the mesh)")
     p.add_argument("--task", type=str, choices=["density", "classification", "hybrid"], default="density")
     p.add_argument("--scale-dim", type=eval, choices=[True, False], default=False)
     p.add_argument("--rcrop-pad-mode", type=str, choices=["constant", "reflect"], default="reflect")
@@ -225,6 +233,21 @@ def main(argv=None):
     logger.info(args)
     logger.info(f"JAX devices: {jax.devices()}")
 
+    # Data parallelism (the reference's nn.DataParallel, train_img.py:203-204,
+    # redesigned): one Mesh over the local devices, batch sharded on 'data',
+    # params replicated, gradient all-reduce over ICI by construction.
+    n_dev = args.ndevices if args.ndevices is not None else len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        micro = args.batchsize // max(args.update_freq, 1)
+        if micro % n_dev or args.val_batchsize % n_dev:
+            raise SystemExit(
+                f"--batchsize/--update-freq microbatch ({micro}) and "
+                f"--val-batchsize ({args.val_batchsize}) must be divisible by "
+                f"the device count ({n_dev}); pass --ndevices to use fewer.")
+        mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
+        logger.info(f"Data-parallel Mesh over {n_dev} devices")
+
     np_rng = np.random.RandomState(args.seed)
     key = jax.random.PRNGKey(args.seed)
 
@@ -286,9 +309,13 @@ def main(argv=None):
         n_lipschitz_iters=args.n_lipschitz_iters, learn_p=args.learn_p,
         scale_dim=args.scale_dim,
     )
-    train_step = make_image_step(model, optimizer, train=True,
+    train_step = make_image_step(model, optimizer, train=True, mesh=mesh,
                                  accum_steps=args.update_freq, **step_kwargs)
-    eval_step = make_image_step(model, None, train=False, **step_kwargs)
+    eval_step = make_image_step(model, None, train=False, mesh=mesh, **step_kwargs)
+
+    if mesh is not None:
+        params, state, opt_state, shadow = (
+            place_replicated(mesh, t) for t in (params, state, opt_state, shadow))
 
     meters = {k: RunningAverageMeter(0.97) for k in
               ("time", "bpd", "logpz", "delta_logp", "gnorm", "ce")}
@@ -313,9 +340,12 @@ def main(argv=None):
                 mb = len(xb) // args.update_freq * args.update_freq
                 xb = xb[:mb].reshape(args.update_freq, -1, *xb.shape[1:])
                 yb = yb[:mb].reshape(args.update_freq, -1)
+            xb, yb = jnp.asarray(xb), jnp.asarray(yb)
+            if mesh is not None:
+                b_ax = 1 if args.update_freq > 1 else 0
+                xb, yb = place_batch_axis(mesh, xb, b_ax), place_batch_axis(mesh, yb, b_ax)
             params, state, opt_state, shadow, m = train_step(
-                params, state, opt_state, shadow,
-                jnp.asarray(xb), jnp.asarray(yb), sub, jnp.asarray(beta)
+                params, state, opt_state, shadow, xb, yb, sub, jnp.asarray(beta)
             )
             global_itr += 1
             meters["time"].update(time.time() - end)
@@ -354,7 +384,10 @@ def main(argv=None):
         nb = 0
         for x_u8, y in test_data.batches(args.val_batchsize, None, shuffle=False):
             key, sub = jax.random.split(key)
-            m = eval_step(eval_params, state, jnp.asarray(x_u8), jnp.asarray(y), sub)
+            xv, yv = jnp.asarray(x_u8), jnp.asarray(y)
+            if mesh is not None:
+                xv, yv = place_batch_axis(mesh, xv, 0), place_batch_axis(mesh, yv, 0)
+            m = eval_step(eval_params, state, xv, yv, sub)
             if args.task in ("density", "hybrid"):
                 val_bpd += float(m["bpd"])
             if args.task in ("classification", "hybrid"):

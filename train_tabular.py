@@ -19,6 +19,12 @@ import jax.numpy as jnp
 
 from implicit_normalizing_flows_tpu.data.tabular import batch_iterator, get_tabular_datasets
 from implicit_normalizing_flows_tpu.models import build_tabular_model
+from implicit_normalizing_flows_tpu.parallel import (
+    make_mesh,
+    place_batch,
+    place_replicated,
+)
+from implicit_normalizing_flows_tpu.parallel.mesh import replicated
 from implicit_normalizing_flows_tpu.training import (
     adam,
     adamax,
@@ -69,6 +75,9 @@ def parse_args(argv=None):
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--synthetic-data", type=eval, choices=[True, False], default=False)
+    p.add_argument("--ndevices", type=int, default=None,
+                   help="data-parallel over the first N local devices "
+                        "(default: all; 1 disables the mesh)")
     p.add_argument("--max-iters-per-epoch", type=int, default=None)
     return p.parse_args(argv)
 
@@ -116,9 +125,24 @@ def main(argv=None):
     opt_state = optimizer.init(params)
     shadow = ema_init(params)
 
-    train_step = make_density_train_step(model, optimizer,
+    # Data parallelism (reference: nn.DataParallel): batch over the 'data'
+    # mesh axis, params replicated. Eval batches can be ragged
+    # (drop_last=False), so eval inputs are replicated instead of sharded.
+    n_dev = args.ndevices if args.ndevices is not None else len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        if args.batchsize % n_dev:
+            raise SystemExit(f"--batchsize ({args.batchsize}) must be divisible "
+                             f"by the device count ({n_dev}); pass --ndevices.")
+        mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
+        logger.info(f"Data-parallel Mesh over {n_dev} devices")
+        params, state, opt_state, shadow = (
+            place_replicated(mesh, t) for t in (params, state, opt_state, shadow))
+
+    train_step = make_density_train_step(model, optimizer, mesh=mesh,
                                          n_lipschitz_iters=args.n_lipschitz_iters)
-    eval_step = make_density_eval_step(model)
+    eval_step = (make_density_eval_step(model, mesh=mesh, in_shardings=replicated(mesh))
+                 if mesh is not None else make_density_eval_step(model))
 
     meters = {k: RunningAverageMeter(0.97) for k in ("time", "nll", "logpz", "delta")}
     best_val = math.inf
@@ -130,8 +154,9 @@ def main(argv=None):
                 break
             beta = min(1.0, global_itr / args.annealing_iters) if args.annealing_iters > 0 else 1.0
             key, sub = jax.random.split(key)
+            xb = place_batch(mesh, jnp.asarray(xb)) if mesh is not None else jnp.asarray(xb)
             params, state, opt_state, shadow, m = train_step(
-                params, state, opt_state, shadow, jnp.asarray(xb), sub, jnp.asarray(beta))
+                params, state, opt_state, shadow, xb, sub, jnp.asarray(beta))
             global_itr += 1
             meters["time"].update(time.time() - end)
             end = time.time()
@@ -148,7 +173,8 @@ def main(argv=None):
         val_nll, nb = 0.0, 0
         for xb in batch_iterator(valid_x, args.val_batchsize, np_rng, shuffle=False, drop_last=False):
             key, sub = jax.random.split(key)
-            loss, _, _ = eval_step(shadow, state, jnp.asarray(xb), sub)
+            xe = place_replicated(mesh, jnp.asarray(xb)) if mesh is not None else jnp.asarray(xb)
+            loss, _, _ = eval_step(shadow, state, xe, sub)
             val_nll += float(loss) * len(xb)
             nb += len(xb)
         val_nll /= max(nb, 1)
@@ -158,7 +184,8 @@ def main(argv=None):
             test_nll, nb = 0.0, 0
             for xb in batch_iterator(test_x, args.val_batchsize, np_rng, shuffle=False, drop_last=False):
                 key, sub = jax.random.split(key)
-                loss, _, _ = eval_step(shadow, state, jnp.asarray(xb), sub)
+                xe = place_replicated(mesh, jnp.asarray(xb)) if mesh is not None else jnp.asarray(xb)
+                loss, _, _ = eval_step(shadow, state, xe, sub)
                 test_nll += float(loss) * len(xb)
                 nb += len(xb)
             logger.info(f"Epoch {epoch} | Test NLL {test_nll / max(nb, 1):.4f} (best val)")

@@ -19,6 +19,12 @@ import jax.numpy as jnp
 
 from implicit_normalizing_flows_tpu.data import inf_train_gen
 from implicit_normalizing_flows_tpu.models import build_toy_model
+from implicit_normalizing_flows_tpu.parallel import (
+    make_mesh,
+    place_batch,
+    place_replicated,
+)
+from implicit_normalizing_flows_tpu.parallel.mesh import replicated
 from implicit_normalizing_flows_tpu.training import (
     adam,
     ema_init,
@@ -73,6 +79,9 @@ def parse_args():
     parser.add_argument("--val_freq", type=int, default=1000)
     parser.add_argument("--log_freq", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ndevices", type=int, default=None,
+                        help="data-parallel over the first N local devices "
+                             "(default: all; 1 disables the mesh)")
     return parser.parse_args()
 
 
@@ -115,10 +124,22 @@ def main():
     opt_state = optimizer.init(params)
     shadow = ema_init(params)
 
-    train_step = make_density_train_step(model, optimizer,
+    n_dev = args.ndevices if args.ndevices is not None else len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        if args.batch_size % n_dev:
+            raise SystemExit(f"--batch_size ({args.batch_size}) must be divisible "
+                             f"by the device count ({n_dev}); pass --ndevices.")
+        mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
+        logger.info(f"Data-parallel Mesh over {n_dev} devices")
+        params, state, opt_state, shadow = (
+            place_replicated(mesh, t) for t in (params, state, opt_state, shadow))
+
+    train_step = make_density_train_step(model, optimizer, mesh=mesh,
                                          n_lipschitz_iters=args.n_lipschitz_iters,
                                          learn_p=args.learn_p)
-    eval_step = make_density_eval_step(model)
+    eval_step = (make_density_eval_step(model, mesh=mesh, in_shardings=replicated(mesh))
+                 if mesh is not None else make_density_eval_step(model))
 
     time_meter = RunningAverageMeter(0.93)
     loss_meter = RunningAverageMeter(0.93)
@@ -130,6 +151,8 @@ def main():
     for itr in range(1, args.niters + 1):
         beta = min(1.0, itr / args.annealing_iters) if args.annealing_iters > 0 else 1.0
         x = jnp.asarray(inf_train_gen(args.data, args.batch_size, np_rng))
+        if mesh is not None:
+            x = place_batch(mesh, x)
         key, sub = jax.random.split(key)
         params, state, opt_state, shadow, metrics = train_step(
             params, state, opt_state, shadow, x, sub, jnp.asarray(beta)
@@ -155,6 +178,8 @@ def main():
             params, state = v["params"], v["state"]
             x_test = jnp.asarray(inf_train_gen(args.data, args.test_batch_size, np_rng))
             key, sub = jax.random.split(key)
+            if mesh is not None:
+                x_test = place_replicated(mesh, x_test)
             test_loss, test_logpz, test_delta = eval_step(params, state, x_test, sub)
             logger.info(
                 "[TEST] Iter {:04d} | Test Loss {:.6f} | Test Logp(z) {:.6f}"
