@@ -66,6 +66,9 @@ def parse_args(argv=None):
     p.add_argument("--factor-out", type=eval, choices=[True, False], default=False)
     p.add_argument("--n-dist", choices=["geometric", "poisson"], default="poisson")
     p.add_argument("--n-samples", type=int, default=1)
+    p.add_argument("--n-probes", type=int, default=1,
+                   help="independent Hutchinson probes averaged per step "
+                        "(variance/N; shards over the mesh trace axis)")
     p.add_argument("--n-exact-terms", type=int, default=2)
     p.add_argument("--neumann-grad", type=eval, choices=[True, False], default=True)
     p.add_argument("--mem-eff", type=eval, choices=[True, False], default=True)
@@ -179,6 +182,7 @@ def build_model(args, im_dim, n_classes, init_layer, batchsize):
         n_power_series=args.n_power_series,
         n_dist=args.n_dist,
         n_samples=args.n_samples,
+        n_probes=args.n_probes,
         kernels=args.kernels,
         activation_fn=args.act,
         fc_end=args.fc_end,
