@@ -4,5 +4,7 @@ from .mesh import (  # noqa: F401
     place_batch,
     place_batch_axis,
     place_replicated,
+    place_tp,
     replicated,
+    tp_sharding,
 )

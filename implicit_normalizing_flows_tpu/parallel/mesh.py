@@ -25,12 +25,16 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_data: int | None = None, n_trace: int = 1, devices=None) -> Mesh:
+def make_mesh(n_data: int | None = None, n_trace: int = 1, devices=None,
+              n_model: int = 1) -> Mesh:
+    """3-axis device mesh: 'data' (batch), 'trace' (Hutchinson probes),
+    'model' (tensor parallelism over the Lipschitz nets' channel dim)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_trace
-    devs = np.array(devices[: n_data * n_trace]).reshape(n_data, n_trace)
-    return Mesh(devs, ("data", "trace"))
+        n_data = len(devices) // (n_trace * n_model)
+    devs = np.array(devices[: n_data * n_trace * n_model]).reshape(
+        n_data, n_trace, n_model)
+    return Mesh(devs, ("data", "trace", "model"))
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
@@ -82,3 +86,27 @@ def place_batch_axis(mesh: Mesh, x, axis: int = 0):
     spec = [None] * x.ndim
     spec[axis] = "data"
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def tp_sharding(mesh: Mesh, tree, channel_size: int):
+    """Tensor-parallel shardings for a params/state pytree: the first array
+    dim equal to ``channel_size`` (the Lipschitz nets' intermediate_dim /
+    idim) shards over 'model'; everything else replicates. GSPMD propagates
+    through the convs/denses and inserts the all-reduces — no reference
+    analogue (the reference's only parallelism is DataParallel)."""
+
+    def spec(a):
+        shape = getattr(a, "shape", ())
+        dims = [None] * len(shape)
+        for i, d in enumerate(shape):
+            if d == channel_size:
+                dims[i] = "model"
+                break
+        return NamedSharding(mesh, P(*dims))
+
+    return jax.tree.map(spec, tree)
+
+
+def place_tp(mesh: Mesh, tree, channel_size: int):
+    """device_put the pytree with tensor-parallel channel shardings."""
+    return jax.tree.map(jax.device_put, tree, tp_sharding(mesh, tree, channel_size))

@@ -309,9 +309,12 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
         else:
             xs = batch_sharding(mesh, 4)
             ys = batch_sharding(mesh, 1)
+        # params/state/opt/EMA shardings are INFERRED from their input
+        # placement (None), so the same step serves replicated (pure DP,
+        # place_replicated) and tensor-parallel (place_tp) parameters.
         if optimizer is None:
-            return jax.jit(step, in_shardings=(rep, rep, xs, ys, rep))
-        return jax.jit(step, in_shardings=(rep, rep, rep, rep, xs, ys, rep, rep),
+            return jax.jit(step, in_shardings=(None, None, xs, ys, rep))
+        return jax.jit(step, in_shardings=(None, None, None, None, xs, ys, rep, rep),
                        donate_argnums=_donate_args((0, 1, 2, 3)))
     if optimizer is None:
         return jax.jit(step)

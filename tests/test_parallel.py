@@ -76,3 +76,49 @@ def test_probe_axis_sharding_is_numerically_inert(monkeypatch):
     f1 = jax.flatten_util.ravel_pytree(jax.tree.map(np.asarray, g1))[0]
     fN = jax.flatten_util.ravel_pytree(jax.tree.map(np.asarray, gN))[0]
     np.testing.assert_allclose(np.asarray(f1), np.asarray(fN), atol=2e-5)
+
+
+def test_tensor_parallel_matches_replicated(monkeypatch):
+    """data x model mesh: Lipschitz-net channel dims sharded over 'model'
+    (place_tp) must reproduce the unsharded single-program step — same loss,
+    same updated params (f32: sharded reductions reassociate, so tolerances
+    are loose-ish rather than exact)."""
+    monkeypatch.setenv("IMNF_BF16_EST", "0")
+    monkeypatch.setenv("IMNF_BWD_PRECISION", "f32")
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _build
+    from implicit_normalizing_flows_tpu.parallel import place_batch, place_tp
+    from implicit_normalizing_flows_tpu.training import adam, ema_init, linear_warmup
+    from implicit_normalizing_flows_tpu.training.loops import make_image_step
+
+    batch, size, idim = 8, 8, 16
+    model = _build([1, 1], idim, size, batch, n_exact_terms=2, n_lip_iters=2)
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (batch, 3, size, size),
+                            minval=0.05, maxval=0.95)
+    variables = model.init(jax.random.PRNGKey(1), x0)
+    variables = model.init_with_batch(variables, x0, rng=jax.random.PRNGKey(2))
+    params, state = variables["params"], variables["state"]
+    optimizer = adam(linear_warmup(1e-3, 10), betas=(0.9, 0.99), grad_clip=1.0)
+    opt_state, shadow = optimizer.init(params), ema_init(params)
+    x_u8 = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, size=(batch, 3, size, size), dtype=np.uint8))
+    y = jnp.zeros((batch,), jnp.int32)
+    key = jax.random.PRNGKey(3)
+
+    step1 = make_image_step(model, optimizer, im_dim=3, imagesize=size,
+                            task="density", n_lipschitz_iters=2)
+    p1, *_, m1 = step1(params, state, opt_state, shadow, x_u8, y, key, jnp.ones(()))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    stepT = make_image_step(model, optimizer, im_dim=3, imagesize=size,
+                            task="density", n_lipschitz_iters=2, mesh=mesh)
+    pT, *_, mT = stepT(
+        place_tp(mesh, params, idim), place_tp(mesh, state, idim),
+        place_tp(mesh, opt_state, idim), place_tp(mesh, shadow, idim),
+        place_batch(mesh, x_u8), place_batch(mesh, y), key, jnp.ones(()),
+    )
+    np.testing.assert_allclose(float(m1["bpd"]), float(mT["bpd"]), rtol=2e-5)
+    l1 = jax.flatten_util.ravel_pytree(jax.tree.map(np.asarray, p1))[0]
+    lT = jax.flatten_util.ravel_pytree(jax.tree.map(np.asarray, pT))[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(lT), atol=2e-5)
