@@ -38,3 +38,34 @@ class RunningAverageMeter:
         else:
             self.avg = self.avg * self.momentum + val * (1 - self.momentum)
         self.val = val
+
+
+class LaggedMetrics:
+    """Defer per-step metric materialisation by one step.
+
+    JAX dispatch is asynchronous, but the reference-style loop skeleton
+    (``train_img.py:663-688``: ``float(metric)`` right after the step) turns
+    every iteration into dispatch -> hard sync -> host work -> dispatch, so
+    the device idles during meter updates, logging, and next-batch prep.
+    Pushing metrics here and consuming them one step late means step N+1 is
+    already enqueued when the host blocks on step N's scalars — host work
+    rides under device compute.
+
+    ``push(metrics, **ctx)`` hands over the (still-device-resident) metrics
+    of the step just dispatched and materialises the *previous* step's via
+    ``consume(metrics, **ctx)``. Call ``flush()`` after the loop.
+    """
+
+    def __init__(self, consume):
+        self._consume = consume
+        self._pending = None
+
+    def push(self, metrics, **ctx):
+        prev, self._pending = self._pending, (metrics, ctx)
+        if prev is not None:
+            self._consume(prev[0], **prev[1])
+
+    def flush(self):
+        prev, self._pending = self._pending, None
+        if prev is not None:
+            self._consume(prev[0], **prev[1])

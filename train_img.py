@@ -45,7 +45,8 @@ from implicit_normalizing_flows_tpu.training import (
     save_most_recent,
 )
 from implicit_normalizing_flows_tpu.training.loops import make_image_step
-from implicit_normalizing_flows_tpu.utils import RunningAverageMeter, get_logger, makedirs
+from implicit_normalizing_flows_tpu.utils import (
+    LaggedMetrics, RunningAverageMeter, get_logger, makedirs)
 
 ACTS = ["softplus", "elu", "swish", "lcube", "identity", "relu", "sin", "zero"]
 
@@ -324,11 +325,44 @@ def main(argv=None):
     meters = {k: RunningAverageMeter(0.97) for k in
               ("time", "bpd", "logpz", "delta_logp", "gnorm", "ce")}
 
+    # Metrics are consumed one step late (LaggedMetrics): step N+1 is already
+    # dispatched when the host blocks on step N's scalars, so meter updates,
+    # logging, and next-batch prep overlap device compute.
+    last_t = [time.time()]
+
+    def consume_metrics(m, epoch, i):
+        now = time.time()
+        meters["time"].update(now - last_t[0])
+        last_t[0] = now
+        if args.task in ("density", "hybrid"):
+            meters["bpd"].update(float(m["bpd"]))
+            meters["logpz"].update(float(m["logpz"]))
+            meters["delta_logp"].update(float(m["delta_logp"]))
+        if args.task in ("classification", "hybrid"):
+            meters["ce"].update(float(m["ce"]))
+        meters["gnorm"].update(float(m["grad_norm"]))
+
+        if i % args.print_freq == 0:
+            s = (f"Epoch: [{epoch}][{i}] | Time {meters['time'].val:.3f} | "
+                 f"GradNorm {meters['gnorm'].avg:.2f}")
+            if args.task in ("density", "hybrid"):
+                s += (f" | Bits/dim {meters['bpd'].val:.4f}({meters['bpd'].avg:.4f})"
+                      f" | Logpz {meters['logpz'].avg:.0f}"
+                      f" | -DeltaLogp {meters['delta_logp'].avg:.0f}")
+            if args.task in ("classification", "hybrid"):
+                s += f" | CE {meters['ce'].avg:.4f}"
+            if "broyden_nstep" in m:
+                s += (f" | BroydenIters {float(m['broyden_nstep']):.1f}"
+                      f" | Converged {float(m['broyden_converged']):.2f}")
+            logger.info(s)
+
+    lag = LaggedMetrics(consume_metrics)
+
     best_test_bpd = math.inf
     last_checkpoints = []
     global_itr = 0
     for epoch in range(begin_epoch, args.nepochs):
-        end = time.time()
+        last_t[0] = time.time()
         for i, (x_u8, y) in enumerate(train_data.batches(args.batchsize, np_rng)):
             if args.max_iters_per_epoch and i >= args.max_iters_per_epoch:
                 break
@@ -352,29 +386,7 @@ def main(argv=None):
                 params, state, opt_state, shadow, xb, yb, sub, jnp.asarray(beta)
             )
             global_itr += 1
-            meters["time"].update(time.time() - end)
-            end = time.time()
-            if args.task in ("density", "hybrid"):
-                meters["bpd"].update(float(m["bpd"]))
-                meters["logpz"].update(float(m["logpz"]))
-                meters["delta_logp"].update(float(m["delta_logp"]))
-            if args.task in ("classification", "hybrid"):
-                meters["ce"].update(float(m["ce"]))
-            meters["gnorm"].update(float(m["grad_norm"]))
-
-            if i % args.print_freq == 0:
-                s = (f"Epoch: [{epoch}][{i}] | Time {meters['time'].val:.3f} | "
-                     f"GradNorm {meters['gnorm'].avg:.2f}")
-                if args.task in ("density", "hybrid"):
-                    s += (f" | Bits/dim {meters['bpd'].val:.4f}({meters['bpd'].avg:.4f})"
-                          f" | Logpz {meters['logpz'].avg:.0f}"
-                          f" | -DeltaLogp {meters['delta_logp'].avg:.0f}")
-                if args.task in ("classification", "hybrid"):
-                    s += f" | CE {meters['ce'].avg:.4f}"
-                if "broyden_nstep" in m:
-                    s += (f" | BroydenIters {float(m['broyden_nstep']):.1f}"
-                          f" | Converged {float(m['broyden_converged']):.2f}")
-                logger.info(s)
+            lag.push(m, epoch=epoch, i=i)
             if args.vis_freq and global_itr % args.vis_freq == 0 and args.task != "classification":
                 try:
                     visualize(model, make_vars(params, state), x_u8, nvals,
@@ -382,25 +394,29 @@ def main(argv=None):
                 except Exception as e:
                     logger.info(f"viz failed: {e}")
 
-        # validation with EMA weights (train_img.py:702-737)
+        lag.flush()
+
+        # validation with EMA weights (train_img.py:702-737); batch metrics
+        # stay device-resident until after the last dispatch (async eval)
         eval_params = shadow if args.ema_val else params
         val_bpd, val_ce, val_correct, val_total = 0.0, 0.0, 0, 0
-        nb = 0
+        pending = []
         for x_u8, y in test_data.batches(args.val_batchsize, None, shuffle=False):
             key, sub = jax.random.split(key)
             xv, yv = jnp.asarray(x_u8), jnp.asarray(y)
             if mesh is not None:
                 xv, yv = place_batch_axis(mesh, xv, 0), place_batch_axis(mesh, yv, 0)
-            m = eval_step(eval_params, state, xv, yv, sub)
+            pending.append((eval_step(eval_params, state, xv, yv, sub), len(y)))
+            if args.max_iters_per_epoch and len(pending) >= args.max_iters_per_epoch:
+                break
+        nb = len(pending)
+        for m, ny in pending:
             if args.task in ("density", "hybrid"):
                 val_bpd += float(m["bpd"])
             if args.task in ("classification", "hybrid"):
                 val_ce += float(m["ce"])
-                val_correct += float(m["acc"]) * len(y)
-                val_total += len(y)
-            nb += 1
-            if args.max_iters_per_epoch and nb >= args.max_iters_per_epoch:
-                break
+                val_correct += float(m["acc"]) * ny
+                val_total += ny
         val_bpd /= max(nb, 1)
         s = f"Epoch {epoch} | Test bits/dim {val_bpd:.4f}"
         if val_total:

@@ -36,7 +36,8 @@ from implicit_normalizing_flows_tpu.training import (
     rmsprop,
     save_most_recent,
 )
-from implicit_normalizing_flows_tpu.utils import RunningAverageMeter, get_logger, makedirs
+from implicit_normalizing_flows_tpu.utils import (
+    LaggedMetrics, RunningAverageMeter, get_logger, makedirs)
 
 ACTS = ["identity", "relu", "tanh", "elu", "selu", "fullsort", "maxmin", "swish", "lcube", "sin", "zero"]
 
@@ -145,10 +146,30 @@ def main(argv=None):
                  if mesh is not None else make_density_eval_step(model))
 
     meters = {k: RunningAverageMeter(0.97) for k in ("time", "nll", "logpz", "delta")}
+
+    # Lag-1 metric materialisation: step N+1 is dispatched before the host
+    # blocks on step N's scalars (see utils.meters.LaggedMetrics).
+    last_t = [time.time()]
+
+    def consume_metrics(m, epoch, i):
+        now = time.time()
+        meters["time"].update(now - last_t[0])
+        last_t[0] = now
+        meters["nll"].update(float(m["loss"]))
+        meters["logpz"].update(float(m["logpz"]))
+        meters["delta"].update(float(m["delta_logp"]))
+        if i % args.print_freq == 0:
+            logger.info(
+                f"Epoch [{epoch}][{i}] | Time {meters['time'].val:.3f} | "
+                f"NLL {meters['nll'].val:.4f}({meters['nll'].avg:.4f}) | "
+                f"Logpz {meters['logpz'].avg:.2f} | -DeltaLogp {meters['delta'].avg:.2f}")
+
+    lag = LaggedMetrics(consume_metrics)
+
     best_val = math.inf
     global_itr = 0
     for epoch in range(args.nepochs):
-        end = time.time()
+        last_t[0] = time.time()
         for i, xb in enumerate(batch_iterator(train_x, args.batchsize, np_rng)):
             if args.max_iters_per_epoch and i >= args.max_iters_per_epoch:
                 break
@@ -158,25 +179,18 @@ def main(argv=None):
             params, state, opt_state, shadow, m = train_step(
                 params, state, opt_state, shadow, xb, sub, jnp.asarray(beta))
             global_itr += 1
-            meters["time"].update(time.time() - end)
-            end = time.time()
-            meters["nll"].update(float(m["loss"]))
-            meters["logpz"].update(float(m["logpz"]))
-            meters["delta"].update(float(m["delta_logp"]))
-            if i % args.print_freq == 0:
-                logger.info(
-                    f"Epoch [{epoch}][{i}] | Time {meters['time'].val:.3f} | "
-                    f"NLL {meters['nll'].val:.4f}({meters['nll'].avg:.4f}) | "
-                    f"Logpz {meters['logpz'].avg:.2f} | -DeltaLogp {meters['delta'].avg:.2f}")
+            lag.push(m, epoch=epoch, i=i)
+        lag.flush()
 
-        # validate with EMA params on the validation split
-        val_nll, nb = 0.0, 0
+        # validate with EMA params on the validation split (async: metrics
+        # materialised after the last dispatch)
+        pending = []
         for xb in batch_iterator(valid_x, args.val_batchsize, np_rng, shuffle=False, drop_last=False):
             key, sub = jax.random.split(key)
             xe = place_replicated(mesh, jnp.asarray(xb)) if mesh is not None else jnp.asarray(xb)
-            loss, _, _ = eval_step(shadow, state, xe, sub)
-            val_nll += float(loss) * len(xb)
-            nb += len(xb)
+            pending.append((eval_step(shadow, state, xe, sub)[0], len(xb)))
+        val_nll = sum(float(l) * n for l, n in pending)
+        nb = sum(n for _, n in pending)
         val_nll /= max(nb, 1)
         logger.info(f"Epoch {epoch} | Val NLL {val_nll:.4f}")
         if val_nll < best_val:

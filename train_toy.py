@@ -36,7 +36,8 @@ from implicit_normalizing_flows_tpu.training import (
     standard_normal_logprob,
 )
 from implicit_normalizing_flows_tpu.layers.protocol import make_vars
-from implicit_normalizing_flows_tpu.utils import RunningAverageMeter, get_logger, makedirs
+from implicit_normalizing_flows_tpu.utils import (
+    LaggedMetrics, RunningAverageMeter, get_logger, makedirs)
 
 ACTIVATIONS = ["identity", "relu", "tanh", "elu", "selu", "fullsort", "maxmin", "swish", "lcube", "sin"]
 
@@ -146,22 +147,17 @@ def main():
     logpz_meter = RunningAverageMeter(0.93)
     delta_logp_meter = RunningAverageMeter(0.93)
 
-    best_loss = float("inf")
-    end = time.time()
-    for itr in range(1, args.niters + 1):
-        beta = min(1.0, itr / args.annealing_iters) if args.annealing_iters > 0 else 1.0
-        x = jnp.asarray(inf_train_gen(args.data, args.batch_size, np_rng))
-        if mesh is not None:
-            x = place_batch(mesh, x)
-        key, sub = jax.random.split(key)
-        params, state, opt_state, shadow, metrics = train_step(
-            params, state, opt_state, shadow, x, sub, jnp.asarray(beta)
-        )
+    # Lag-1 metric materialisation (utils.meters.LaggedMetrics): iteration
+    # N+1 is dispatched before the host blocks on iteration N's scalars.
+    last_t = [time.time()]
+
+    def consume_metrics(metrics, itr):
+        now = time.time()
+        time_meter.update(now - last_t[0])
+        last_t[0] = now
         loss_meter.update(float(metrics["loss"]))
         logpz_meter.update(float(metrics["logpz"]))
         delta_logp_meter.update(float(metrics["delta_logp"]))
-        time_meter.update(time.time() - end)
-
         if itr % args.log_freq == 0:
             logger.info(
                 "Iter {:04d} | Time {:.4f}({:.4f}) | Loss {:.6f}({:.6f})"
@@ -172,7 +168,22 @@ def main():
                 )
             )
 
+    lag = LaggedMetrics(consume_metrics)
+
+    best_loss = float("inf")
+    for itr in range(1, args.niters + 1):
+        beta = min(1.0, itr / args.annealing_iters) if args.annealing_iters > 0 else 1.0
+        x = jnp.asarray(inf_train_gen(args.data, args.batch_size, np_rng))
+        if mesh is not None:
+            x = place_batch(mesh, x)
+        key, sub = jax.random.split(key)
+        params, state, opt_state, shadow, metrics = train_step(
+            params, state, opt_state, shadow, x, sub, jnp.asarray(beta)
+        )
+        lag.push(metrics, itr=itr)
+
         if itr % args.val_freq == 0 or itr == args.niters:
+            lag.flush()
             # settle power iteration before eval (train_toy.py:307: 200 iters)
             v = model.update_lipschitz(make_vars(params, state), 200)
             params, state = v["params"], v["state"]
@@ -224,8 +235,11 @@ def main():
             except Exception as e:  # viz must never kill training
                 logger.info(f"viz failed: {e}")
 
-        end = time.time()
+        # don't let (infrequent) val/viz wall-time pollute the step timer
+        if itr == 1 or itr % args.val_freq == 0 or itr % args.viz_freq == 0:
+            last_t[0] = time.time()
 
+    lag.flush()
     logger.info("Training has finished.")
 
 
