@@ -410,7 +410,43 @@ class ImplicitBlock(Flow):
             # VJP chain (reference mem_eff_wrapper, implicit_block.py:441-450).
             estimate = jax.checkpoint(estimate, static_argnums=(0,))
 
-        logdet = estimate(apply_x, vx, x, vareps_x) - estimate(apply_z, vz, z, vareps_z)
+        logdet = None
+        # Fused-chain fast path (ops.fused_chain): both nets' stop-gradient
+        # Neumann accumulations in ONE Pallas kernel with the activation-
+        # derivative tensors VMEM-resident across the whole power series.
+        # Estimator semantics unchanged (same signed coefficients and trip
+        # count; float reassociation only). Engaged on TPU for conv stacks
+        # matching the kernel pattern at large spatial dims (measured 1.47x
+        # vs the XLA chains at 32x32, break-even at 16x16, slower at 8x8);
+        # IMNF_FUSED_CHAIN=0 disables, =interpret forces the interpreter
+        # path for CPU tests.
+        fused_mode = os.environ.get("IMNF_FUSED_CHAIN", "1")
+        if (neumann and fused_mode != "0" and cfg.n_probes <= 1
+                and not (train and cfg.grad_in_forward) and x.ndim == 4):
+            interp = fused_mode == "interpret"
+            on_tpu = jax.devices()[0].platform == "tpu"
+            big_enough = x.shape[2] * x.shape[3] >= 1024
+            get_cd_x = getattr(self.nnet_x, "conv_chain_data", None)
+            get_cd_z = getattr(self.nnet_z, "conv_chain_data", None)
+            if (interp or (on_tpu and big_enough)) and get_cd_x and get_cd_z:
+                if bf16_est:
+                    vx_c, vz_c = _cast(vx, jnp.bfloat16), _cast(vz, jnp.bfloat16)
+                    x_c, z_c = x.astype(jnp.bfloat16), z.astype(jnp.bfloat16)
+                    ex = vareps_x[0].astype(jnp.bfloat16)
+                    ez = vareps_z[0].astype(jnp.bfloat16)
+                else:
+                    vx_c, vz_c, x_c, z_c = vx, vz, x, z
+                    ex, ez = vareps_x[0], vareps_z[0]
+                cd_x = get_cd_x(vx_c, x_c)
+                cd_z = get_cd_z(vz_c, z_c)
+                if cd_x is not None and cd_z is not None:
+                    ld_x, ld_z = ld.neumann_logdet_pair_fused(
+                        apply_x, vx_c, x_c, ex, apply_z, vz_c, z_c, ez,
+                        cd_x, cd_z, coeffs, n_power, interpret=interp)
+                    logdet = (ld_x - ld_z).astype(jnp.float32)
+
+        if logdet is None:
+            logdet = estimate(apply_x, vx, x, vareps_x) - estimate(apply_z, vz, z, vareps_z)
 
         state = dict(variables["state"])
         if train and cfg.n_power_series is None:

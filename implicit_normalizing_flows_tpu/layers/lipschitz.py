@@ -238,13 +238,19 @@ class InducedNormConv(_LipschitzBase):
             return pi.dense_sigma(w.reshape(self.out_channels, self.in_channels), u, v)
         return pi.conv_sigma(w, u, v, self.x_shape, self.stride, self.padding)
 
-    def apply(self, variables, x, *, rng=None, train=False, domain=None, codomain=None):
+    def effective_weight(self, variables):
+        """The soft-normalized kernel actually convolved in ``apply``
+        (w / max(1, sigma/coeff)); consumed by the fused Neumann-chain
+        kernel's cotangent matrices."""
         w = variables["params"]["weight"]
         u = jax.lax.stop_gradient(variables["state"]["u"])
         v = jax.lax.stop_gradient(variables["state"]["v"])
         sigma = self._sigma(w, u, v)
-        factor = jnp.maximum(1.0, sigma / self.coeff)
-        y = pi.conv_apply(w / factor, x, self.stride, self.padding)
+        return w / jnp.maximum(1.0, sigma / self.coeff)
+
+    def apply(self, variables, x, *, rng=None, train=False, domain=None, codomain=None):
+        y = pi.conv_apply(self.effective_weight(variables), x,
+                          self.stride, self.padding)
         if self.use_bias:
             y = y + variables["params"]["bias"][None, :, None, None]
         return y

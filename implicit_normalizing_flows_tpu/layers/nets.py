@@ -102,6 +102,68 @@ class LipschitzNet:
             x = x.reshape((x.shape[0],) + tuple(shape))
         return x
 
+    def conv_chain_data(self, variables, x):
+        """Linearization data for the fused Neumann-chain Pallas kernel
+        (``ops.fused_chain``), or None when the stack doesn't match.
+
+        Matches the recipe conv stack [act?] conv(k3) act conv(k1) act
+        conv(k3) with stride-1 same-padding InducedNorm convs and elementwise
+        activations. Returns (s0, s1, s2, w1, w2, w3): the activation
+        derivatives at the linearization point ``x`` (s0 = ones when there is
+        no preact prefix) and the effective (soft-normalized) conv kernels.
+        """
+        from .activations import Identity, LipschitzCube, Sin, Swish
+        from .lipschitz import InducedNormConv
+
+        if self.flatten_io or self.learn_p:
+            return None
+        items = self.items
+        ew_acts = (Swish, Sin, LipschitzCube, Identity)
+        pattern = "".join(
+            "a" if isinstance(it, ew_acts)
+            else "c" if isinstance(it, InducedNormConv) else "?"
+            for it in items)
+        if pattern not in ("cacac", "acacac"):
+            return None
+        preact = pattern == "acacac"
+        conv_pos = [i for i, t in enumerate(pattern) if t == "c"]
+        act_pos = [i for i, t in enumerate(pattern) if t == "a"]
+        convs = [items[i] for i in conv_pos]
+        if [cv.kernel_size for cv in convs] != [(3, 3), (1, 1), (3, 3)]:
+            return None
+        for cv in convs:
+            if cv.stride != (1, 1) or cv.padding != (cv.kernel_size[0] // 2,) * 2:
+                return None
+
+        def item_vars(i):
+            return {"params": variables["params"]["layers"][i],
+                    "state": variables["state"][i]}
+
+        def ew_deriv(pos, h):
+            # elementwise activation => jvp with a ones tangent is f'(h)
+            v = item_vars(pos)
+            return jax.jvp(lambda a: items[pos].apply(v, a), (h,),
+                           (jnp.ones_like(h),))[1]
+
+        c1, c2, c3 = conv_pos
+        if preact:
+            a0 = act_pos[0]
+            s0 = ew_deriv(a0, x)
+            h = items[a0].apply(item_vars(a0), x)
+            a1, a2 = act_pos[1], act_pos[2]
+        else:
+            s0 = jnp.ones_like(x)
+            h = x
+            a1, a2 = act_pos[0], act_pos[1]
+        h1 = items[c1].apply(item_vars(c1), h)
+        s1 = ew_deriv(a1, h1)
+        h2 = items[c2].apply(item_vars(c2), items[a1].apply(item_vars(a1), h1))
+        s2 = ew_deriv(a2, h2)
+        w1 = items[c1].effective_weight(item_vars(c1))
+        w2 = items[c2].effective_weight(item_vars(c2))
+        w3 = items[c3].effective_weight(item_vars(c3))
+        return s0, s1, s2, w1, w2, w3
+
     def update_lipschitz(self, variables, n_iterations=None):
         params = variables["params"]
         states = list(variables["state"])

@@ -178,6 +178,56 @@ def neumann_logdet_estimator(apply_fn, params, x, vareps, coeffs, n_power,
     return _batch_dot(vjp_jac, vareps, batch_ndim)
 
 
+def neumann_logdet_pair_fused(apply_x, params_x, x, vareps_x,
+                              apply_z, params_z, z, vareps_z,
+                              chain_x, chain_z, coeffs, n_power,
+                              interpret=False):
+    """Both nets' Neumann estimates with the stop-gradient chains fused into
+    ONE Pallas kernel (``ops.fused_chain``) — semantics identical to two
+    :func:`neumann_logdet_estimator` calls (same signed coefficients, same
+    traced trip count; float reassociation only).
+
+    ``chain_*`` is (s0, s1, s2, w1, w2, w3) from
+    ``LipschitzNet.conv_chain_data`` at the same cast/precision as the
+    ``apply`` closures. Returns ``(logdet_x_hat, logdet_z_hat)``.
+    """
+    from .fused_chain import (
+        conv1x1_transpose_mat,
+        conv3_transpose_mats,
+        conv3_transpose_mats_cout,
+        fused_neumann_chain2,
+    )
+
+    B, c, H, W = x.shape
+    c8 = max(8, -(-c // 8) * 8)
+    cap = coeffs.shape[0]
+    ks = jnp.arange(1, cap + 1)
+    signed = jnp.where(ks % 2 == 0, 1.0, -1.0) * jax.lax.stop_gradient(coeffs)
+
+    def prep(eps, data):
+        s0, s1, s2, w1, w2, w3 = [jax.lax.stop_gradient(a) for a in data]
+        eps = jax.lax.stop_gradient(eps)
+        pad = lambda a: jnp.pad(a, ((0, 0), (0, c8 - c), (0, 0), (0, 0)))
+        flat = lambda a: a.reshape(a.shape[0], a.shape[1], H * W)
+        return (flat(pad(eps)), flat(pad(s0)), flat(s1), flat(s2),
+                conv3_transpose_mats(w3, c8), conv1x1_transpose_mat(w2),
+                conv3_transpose_mats_cout(w1, c8))
+
+    acc_x, acc_z = fused_neumann_chain2(
+        prep(vareps_x, chain_x), prep(vareps_z, chain_z), signed, n_power,
+        H=H, W=W, interpret=interpret)
+
+    def final(apply_fn, params, y, eps, acc):
+        # the single differentiable VJP (grads to params and y), as in
+        # neumann_logdet_estimator
+        _, vjp_fn = jax.vjp(lambda yy: apply_fn(params, yy), y)
+        acc = acc[:, :c].reshape(y.shape).astype(y.dtype)
+        return _batch_dot(vjp_fn(jax.lax.stop_gradient(acc))[0], eps)
+
+    return (final(apply_x, params_x, x, vareps_x, acc_x),
+            final(apply_z, params_z, z, vareps_z, acc_z))
+
+
 def basic_logdet_estimator(apply_fn, params, x, vareps, coeffs, batch_ndim=1):
     """Differentiable power series (implicit_block.py:418-426):
     ``sum_k (-1)^(k+1)/k * coeff(k) * <eps, J^k eps>`` as a lax.scan over the
