@@ -416,8 +416,9 @@ class ImplicitBlock(Flow):
         # derivative tensors VMEM-resident across the whole power series.
         # Estimator semantics unchanged (same signed coefficients and trip
         # count; float reassociation only). Engaged on TPU for conv stacks
-        # matching the kernel pattern at large spatial dims (measured 1.47x
-        # vs the XLA chains at 32x32, break-even at 16x16, slower at 8x8);
+        # matching the kernel pattern at spatial dims >= 16x16 (in-model
+        # sweep of IMNF_FUSED_MIN_HW on the CIFAR recipe: 1024-gate 580,
+        # 256-gate 598, 64-gate 581 samples/s -> 8x8 stays on XLA);
         # IMNF_FUSED_CHAIN=0 disables, =interpret forces the interpreter
         # path for CPU tests.
         fused_mode = os.environ.get("IMNF_FUSED_CHAIN", "1")
@@ -425,7 +426,8 @@ class ImplicitBlock(Flow):
                 and not (train and cfg.grad_in_forward) and x.ndim == 4):
             interp = fused_mode == "interpret"
             on_tpu = jax.devices()[0].platform == "tpu"
-            big_enough = x.shape[2] * x.shape[3] >= 1024
+            big_enough = x.shape[2] * x.shape[3] >= int(
+                os.environ.get("IMNF_FUSED_MIN_HW", "256"))
             get_cd_x = getattr(self.nnet_x, "conv_chain_data", None)
             get_cd_z = getattr(self.nnet_z, "conv_chain_data", None)
             if (interp or (on_tpu and big_enough)) and get_cd_x and get_cd_z:
