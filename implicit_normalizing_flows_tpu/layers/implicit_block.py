@@ -65,15 +65,16 @@ class SolverConfig:
     threshold: int = 30
     # Backward (implicit-gradient) solve budget. The reference shares the
     # forward budget (30, implicit_block.py:230) with eps 1e-10 that no
-    # arithmetic reaches; measured gradients at budget 8 are
-    # indistinguishable from 30 (cosine 1.0000, rel err 4.8e-4 — orders
-    # below the estimator's Monte-Carlo noise; the solve is a fixed linear
-    # system whose conditioning is pinned by the Lipschitz coeff, so this
-    # does not drift over training), so the default saves ~73% of
-    # backward-solve evals; measured bpd identical to 4 decimals at recipe
-    # scale and +2% step throughput vs budget 12. IMNF_BWD_THRESHOLD
-    # overrides.
-    threshold_backward: int = 8
+    # arithmetic reaches; measured full-step gradients vs the budget-30
+    # truth on the CIFAR recipe: budget 8 cos 1.0 / rel 8e-6, budget 4
+    # cos 1.0 / rel 2e-5, budget 2 cos 0.9999946 / rel 3.3e-3
+    # (experiments/bwd_budget_sweep.py) — the solve is a fixed linear system
+    # whose conditioning is pinned by the Lipschitz coeff, so the truncation
+    # error does not drift over training. Default 4 keeps the error 2+
+    # orders below the estimator's Monte-Carlo noise while saving ~87% of
+    # backward-solve evals (bench bpd identical to 4 decimals).
+    # IMNF_BWD_THRESHOLD overrides.
+    threshold_backward: int = 4
     banach_threshold: int = 1000
     warm_start: bool = False
     # Per-example stall exit (wall-clock only; the best iterate is returned
@@ -244,7 +245,7 @@ class ImplicitBlock(Flow):
             eps_sample=eps_sample,
             threshold=threshold,
             threshold_backward=int(os.environ.get("IMNF_BWD_THRESHOLD",
-                                                  min(8, threshold))),
+                                                  min(4, threshold))),
             warm_start=warm_start or os.environ.get("IMNF_WARM_START") == "1",
         )
         self._implicit_forward = _make_implicit_forward(
