@@ -27,6 +27,10 @@ VARIANTS = {
     "pi2": {"n_lip_iters": 2},
     "bwd2": {"_env": {"IMNF_BWD_THRESHOLD": "2"}},
     "noest": {"n_power_series": 1},
+    # Forward-solve share: cap the Broyden budget (timing attribution only —
+    # the solve is left unconverged, so bpd is off).
+    "fwd2": {"_env": {"IMNF_FWD_THRESHOLD": "2"}},
+    "fwd1": {"_env": {"IMNF_FWD_THRESHOLD": "1"}},
 }
 
 

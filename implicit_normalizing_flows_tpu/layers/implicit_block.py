@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 from ..ops import logdet as ld
 from ..ops.broyden import broyden as broyden_solve
-from ..ops.broyden import root_solve
+from ..ops.broyden import fixed_point_iteration, root_solve
 from .protocol import Flow, make_vars
 
 __all__ = ["ImplicitBlock", "SolverConfig"]
@@ -91,15 +91,91 @@ def _sg(tree):
     return jax.tree.map(jax.lax.stop_gradient, tree)
 
 
-def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
+def _fused_solve_mode():
+    prec = os.environ.get("IMNF_SOLVER_PRECISION", "tensorfloat32")
+    return "f32" if prec in ("float32", "highest") else "tf32"
+
+
+def _fused_solve_data(nnet_a, nnet_b, va, vb, x):
+    """Gate for the fused Pallas Broyden solve (ops.fused_solve): returns
+    (data_a, data_b, interpret) when both nets match the conv-stack pattern
+    and the device/shape gates pass, else None. IMNF_FUSED_SOLVE=0 disables,
+    =interpret forces the interpreter path for CPU tests."""
+    mode = os.environ.get("IMNF_FUSED_SOLVE", "1")
+    if mode == "0" or x.ndim != 4:
+        return None
+    interp = mode == "interpret"
+    if not interp:
+        if jax.devices()[0].platform != "tpu":
+            return None
+        if x.shape[2] * x.shape[3] < int(
+                os.environ.get("IMNF_FUSED_SOLVE_MIN_HW", "256")):
+            return None
+    get_a = getattr(nnet_a, "conv_forward_data", None)
+    get_b = getattr(nnet_b, "conv_forward_data", None)
+    if not (get_a and get_b):
+        return None
+    da, db = get_a(va), get_b(vb)
+    if da is None or db is None:
+        return None
+    return da, db, interp
+
+
+def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
     """Build the custom-VJP solve for one block (closures are created once per
     block so jit caches stay stable)."""
+    apply_x, apply_z = nnet_x.apply, nnet_z.apply
+
+    def fused_solve(vx, vz, x, fd):
+        """Whole-solve Pallas path: both nets' conv evals + Broyden state in
+        one kernel launch (ops.fused_solve); per-example Banach fallback for
+        protective-break rows stays on the XLA path (rare, under lax.cond)."""
+        from ..ops.fused_solve import fused_broyden_solve
+
+        data_x, data_z, interp = fd
+        xs = jax.lax.stop_gradient(x)
+        res = fused_broyden_solve(
+            xs, data_x, data_z,
+            threshold=cfg.threshold, eps=cfg.eps_forward,
+            stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
+            warm_start=cfg.warm_start, mode=_fused_solve_mode(),
+            interpret=interp)
+
+        B = x.shape[0]
+        flat = lambda a: a.reshape(B, -1)
+        unflat = lambda a: a.reshape(x.shape)
+
+        def with_fb(args):
+            zb, gb = args
+            prec = os.environ.get("IMNF_SOLVER_PRECISION", "tensorfloat32")
+            with jax.default_matmul_precision(prec):
+                x_embed = flat(apply_x(_sg(vx), xs)) + flat(xs)
+                bg = lambda zf: x_embed - flat(apply_z(_sg(vz), unflat(zf)))
+                fb = fixed_point_iteration(
+                    bg, flat(xs), threshold=cfg.banach_threshold,
+                    eps=cfg.eps_forward)
+                gfb = bg(fb) - fb
+            take = res.prot_break[:, None]
+            return jnp.where(take, fb, zb), jnp.where(take, gfb, gb)
+
+        zf, gf = jax.lax.cond(
+            jnp.any(res.prot_break), with_fb, lambda args: args,
+            (flat(res.result), flat(res.gx)))
+        diag = jnp.stack([
+            jnp.max(res.nstep).astype(jnp.float32),
+            jnp.mean(res.converged.astype(jnp.float32)),
+            jnp.any(res.prot_break).astype(jnp.float32),
+        ])
+        return unflat(zf), unflat(zf + gf), diag
 
     def solve_z(vars_x, vars_z, x):
         B = x.shape[0]
         flat = lambda a: a.reshape(B, -1)
         unflat = lambda a: a.reshape(x.shape)
         vx, vz = _sg(vars_x), _sg(vars_z)
+        fd = _fused_solve_data(nnet_x, nnet_z, vx, vz, x)
+        if fd is not None:
+            return fused_solve(vx, vz, x, fd)
         # The fixed-point evals run at a raised matmul precision
         # (IMNF_SOLVER_PRECISION, default tensorfloat32 = 3-pass bf16): at
         # TPU default (1-pass bf16) the residual noise floor sits above
@@ -120,6 +196,12 @@ def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
                 banach_threshold=cfg.banach_threshold,
                 stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
             )
+        # The re-attachment value (implicit_block.py:227) needs no extra net
+        # evals: z_reatt = x + g_x(x) - g_z(z_hat) = x_embed - g_z(z_hat)
+        # = z_hat + g(z_hat), and the solver already holds the residual at
+        # the returned root (res.gx). Saves one apply_x + one apply_z per
+        # block per step versus recomputing the expression.
+        z_reatt = unflat(zf + res.gx)
         # First-class solver telemetry (BASELINE.md: Broyden iters-to-converge
         # tracked as a metric; reference only surfaces it on failure,
         # broyden.py:165-172): [nstep, mean converged, any prot_break].
@@ -128,21 +210,19 @@ def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
             jnp.mean(res.converged.astype(jnp.float32)),
             jnp.any(res.prot_break).astype(jnp.float32),
         ])
-        return unflat(zf), diag
+        return unflat(zf), z_reatt, diag
 
     @jax.custom_vjp
     def implicit_forward(vars_x, vars_z, x):
-        z_hat, diag = solve_z(vars_x, vars_z, x)
-        z_hat = jax.lax.stop_gradient(z_hat)
-        # Re-attachment (implicit_block.py:227). Primal value == z_hat up to
-        # solver tolerance; under custom_vjp this expression is not itself
+        # Re-attachment (implicit_block.py:227) assembled from solver values
+        # (see solve_z). Under custom_vjp the primal is not itself
         # differentiated — bwd below reproduces its exact gradient paths.
-        return x + apply_x(vars_x, x) - apply_z(vars_z, z_hat), diag
+        _, z, diag = solve_z(vars_x, vars_z, x)
+        return z, diag
 
     def fwd(vars_x, vars_z, x):
-        z_hat, diag = solve_z(vars_x, vars_z, x)
+        z_hat, z, diag = solve_z(vars_x, vars_z, x)
         z_hat = jax.lax.stop_gradient(z_hat)
-        z = x + apply_x(_sg(vars_x), x) - apply_z(_sg(vars_z), z_hat)
         return (z, diag), (vars_x, vars_z, x, z_hat, z)
 
     def bwd(res, grads):
@@ -164,24 +244,53 @@ def _make_implicit_forward(apply_x, apply_z, cfg: SolverConfig):
             vz_bf = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16) if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
                 vz_sg)
-            Fz = lambda zz: (apply_z(vz_bf, zz.astype(jnp.bfloat16)).astype(jnp.float32) + zz)
-        else:
-            Fz = lambda zz: apply_z(vz_sg, zz) + zz
-        with jax.default_matmul_precision(
-                "tensorfloat32" if bwd_mode == "tf32" else "bfloat16"
-                if bwd_mode == "bf16" else "float32"):
-            _, vjp_z = jax.vjp(Fz, jax.lax.stop_gradient(z))
-            gfun = lambda uf: flat(vjp_z(unflat(uf))[0]) - flat(grad)
-            ures = broyden_solve(
-                gfun, jnp.zeros_like(flat(grad)),
-                threshold=cfg.threshold_backward, eps=cfg.eps_backward,
-                stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
-            )
-        if os.environ.get("IMNF_DEBUG_SOLVER") == "1":
-            jax.debug.print(
-                "bwd solve: nstep={n} best={b:.3e} eps={e:.3e}",
-                n=ures.nstep, b=jnp.max(ures.diff), e=ures.eps[0])
-        u = unflat(ures.result)
+
+        # Fused-kernel backward solve (ops.fused_solve.fused_backward_solve):
+        # the J_gz linearization tensors stay VMEM-resident across all
+        # iterations instead of being re-streamed per VJP application.
+        # IMNF_FUSED_BWD=0 disables, =interpret for CPU tests.
+        u = None
+        fused_bwd = os.environ.get("IMNF_FUSED_BWD", "1")
+        if fused_bwd != "0" and x.ndim == 4 and bwd_mode in ("bf16", "f32"):
+            interp = fused_bwd == "interpret"
+            dev_ok = interp or (
+                jax.devices()[0].platform == "tpu"
+                and x.shape[2] * x.shape[3] >= int(
+                    os.environ.get("IMNF_FUSED_SOLVE_MIN_HW", "256")))
+            get_cd = getattr(nnet_z, "conv_chain_data", None)
+            if dev_ok and get_cd:
+                z_sg = jax.lax.stop_gradient(z)
+                cd = (get_cd(vz_bf, z_sg.astype(jnp.bfloat16))
+                      if bwd_mode == "bf16" else get_cd(vz_sg, z_sg))
+                if cd is not None:
+                    from ..ops.fused_solve import fused_backward_solve
+                    u = fused_backward_solve(
+                        grad, cd,
+                        threshold=cfg.threshold_backward, eps=cfg.eps_backward,
+                        stall_patience=cfg.stall_patience,
+                        stall_rtol=cfg.stall_rtol,
+                        mode=bwd_mode, interpret=interp)
+
+        if u is None:
+            if bwd_mode == "bf16":
+                Fz = lambda zz: (apply_z(vz_bf, zz.astype(jnp.bfloat16)).astype(jnp.float32) + zz)
+            else:
+                Fz = lambda zz: apply_z(vz_sg, zz) + zz
+            with jax.default_matmul_precision(
+                    "tensorfloat32" if bwd_mode == "tf32" else "bfloat16"
+                    if bwd_mode == "bf16" else "float32"):
+                _, vjp_z = jax.vjp(Fz, jax.lax.stop_gradient(z))
+                gfun = lambda uf: flat(vjp_z(unflat(uf))[0]) - flat(grad)
+                ures = broyden_solve(
+                    gfun, jnp.zeros_like(flat(grad)),
+                    threshold=cfg.threshold_backward, eps=cfg.eps_backward,
+                    stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
+                )
+            if os.environ.get("IMNF_DEBUG_SOLVER") == "1":
+                jax.debug.print(
+                    "bwd solve: nstep={n} best={b:.3e} eps={e:.3e}",
+                    n=ures.nstep, b=jnp.max(ures.diff), e=ures.eps[0])
+            u = unflat(ures.result)
 
         # One VJP through the re-attachment delivers d_params_x, d_params_z,
         # and dL/dx = u (I + J_gx) (implicit_block.py:210-213,227).
@@ -243,13 +352,13 @@ class ImplicitBlock(Flow):
             eps_forward=eps_forward,
             eps_backward=eps_backward,
             eps_sample=eps_sample,
-            threshold=threshold,
+            threshold=int(os.environ.get("IMNF_FWD_THRESHOLD", threshold)),
             threshold_backward=int(os.environ.get("IMNF_BWD_THRESHOLD",
                                                   min(4, threshold))),
             warm_start=warm_start or os.environ.get("IMNF_WARM_START") == "1",
         )
         self._implicit_forward = _make_implicit_forward(
-            self.nnet_x.apply, self.nnet_z.apply, self.solver_cfg
+            self.nnet_x, self.nnet_z, self.solver_cfg
         )
 
     # ---- variables ----
@@ -305,6 +414,13 @@ class ImplicitBlock(Flow):
         B = z.shape[0]
         flat = lambda a: a.reshape(B, -1)
         unflat = lambda a: a.reshape(z.shape)
+        fd = _fused_solve_data(self.nnet_z, self.nnet_x, vz, vx, z)
+        if fd is not None:
+            x = self._fused_inverse(vx, vz, z, fd)
+            if logpz is None:
+                return x, None
+            logdet, _ = self._logdetgrad(variables, z, x, rng, train=False)
+            return x, logpz + logdet
         prec = os.environ.get("IMNF_SOLVER_PRECISION", "tensorfloat32")
         with jax.default_matmul_precision(prec):
             z_embed = flat(self.nnet_z.apply(vz, z)) + flat(z)
@@ -323,6 +439,37 @@ class ImplicitBlock(Flow):
             return x, None
         logdet, _ = self._logdetgrad(variables, z, x, rng, train=False)
         return x, logpz + logdet
+
+    def _fused_inverse(self, vx, vz, z, fd):
+        """Fused-kernel inverse solve (data_a = nnet_z embeds z; nnet_x is
+        solved), with the same per-example Banach fallback as the forward."""
+        from ..ops.fused_solve import fused_broyden_solve
+
+        data_z, data_x, interp = fd
+        cfg = self.solver_cfg
+        res = fused_broyden_solve(
+            z, data_z, data_x,
+            threshold=cfg.threshold, eps=cfg.eps_sample,
+            stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
+            warm_start=cfg.warm_start, mode=_fused_solve_mode(),
+            interpret=interp)
+        B = z.shape[0]
+        flat = lambda a: a.reshape(B, -1)
+        unflat = lambda a: a.reshape(z.shape)
+
+        def with_fb(xb):
+            prec = os.environ.get("IMNF_SOLVER_PRECISION", "tensorfloat32")
+            with jax.default_matmul_precision(prec):
+                z_embed = flat(self.nnet_z.apply(vz, z)) + flat(z)
+                bg = lambda xf: z_embed - flat(self.nnet_x.apply(vx, unflat(xf)))
+                fb = fixed_point_iteration(
+                    bg, flat(z), threshold=cfg.banach_threshold,
+                    eps=cfg.eps_sample)
+            return jnp.where(res.prot_break[:, None], fb, xb)
+
+        xf = jax.lax.cond(jnp.any(res.prot_break), with_fb, lambda xb: xb,
+                          flat(res.result))
+        return unflat(xf)
 
     # ---- log-det ----
     def _logdetgrad(self, variables, z, x, rng, train):

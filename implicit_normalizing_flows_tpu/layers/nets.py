@@ -164,6 +164,68 @@ class LipschitzNet:
         w3 = items[c3].effective_weight(item_vars(c3))
         return s0, s1, s2, w1, w2, w3
 
+    def conv_forward_data(self, variables):
+        """Forward-eval data for the fused Broyden-solve Pallas kernel
+        (``ops.fused_solve``), or None when the stack doesn't match.
+
+        Same structural gate as :meth:`conv_chain_data` but restricted to
+        Swish activations (the kernel evaluates the nonlinearity itself, not
+        just its derivative). Returns a dict with the effective conv kernels
+        ``w1/w2/w3``, biases ``b1/b2/b3`` (zeros when bias-free), the
+        softplus-resolved swish slopes ``betas`` = (beta0, beta1, beta2)
+        (beta0 unused when not preact) and the ``preact`` flag.
+        """
+        from .activations import Swish
+        from .lipschitz import InducedNormConv
+
+        if self.flatten_io or self.learn_p:
+            return None
+        items = self.items
+        pattern = "".join(
+            "a" if isinstance(it, Swish)
+            else "c" if isinstance(it, InducedNormConv) else "?"
+            for it in items)
+        if pattern not in ("cacac", "acacac"):
+            return None
+        preact = pattern == "acacac"
+        conv_pos = [i for i, t in enumerate(pattern) if t == "c"]
+        act_pos = [i for i, t in enumerate(pattern) if t == "a"]
+        convs = [items[i] for i in conv_pos]
+        if [cv.kernel_size for cv in convs] != [(3, 3), (1, 1), (3, 3)]:
+            return None
+        for cv in convs:
+            if cv.stride != (1, 1) or cv.padding != (cv.kernel_size[0] // 2,) * 2:
+                return None
+
+        def item_vars(i):
+            return {"params": variables["params"]["layers"][i],
+                    "state": variables["state"][i]}
+
+        def beta_of(pos):
+            return jax.nn.softplus(
+                variables["params"]["layers"][pos]["beta"]).reshape(())
+
+        c1, c2, c3 = conv_pos
+        betas = ([beta_of(act_pos[0])] if preact else [jnp.ones(())])
+        betas += [beta_of(act_pos[-2]), beta_of(act_pos[-1])]
+
+        def bias_of(pos, n):
+            cv = items[pos]
+            if cv.use_bias:
+                return variables["params"]["layers"][pos]["bias"]
+            return jnp.zeros((n,), jnp.float32)
+
+        return dict(
+            w1=items[c1].effective_weight(item_vars(c1)),
+            w2=items[c2].effective_weight(item_vars(c2)),
+            w3=items[c3].effective_weight(item_vars(c3)),
+            b1=bias_of(c1, items[c1].out_channels),
+            b2=bias_of(c2, items[c2].out_channels),
+            b3=bias_of(c3, items[c3].out_channels),
+            betas=jnp.stack(betas),
+            preact=preact,
+        )
+
     def update_lipschitz(self, variables, n_iterations=None):
         params = variables["params"]
         states = list(variables["state"])

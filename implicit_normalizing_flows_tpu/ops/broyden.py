@@ -46,6 +46,7 @@ class BroydenResult(NamedTuple):
     """On-device solver diagnostics (reference: result dict broyden.py:184-193)."""
 
     result: jax.Array      # (B, D) best iterate per example
+    gx: jax.Array          # (B, D) residual g(result) at the returned iterate
     nstep: jax.Array       # () int32, iterations actually run
     diff: jax.Array        # (B,) final best objective per example
     best_step: jax.Array   # (B,) iteration index of each example's best iterate
@@ -260,6 +261,7 @@ def broyden(
     final = jax.lax.while_loop(cond, body, state)
     return BroydenResult(
         result=final.best_x,
+        gx=final.best_gx,
         nstep=final.nstep,
         diff=final.best_obj,
         best_step=final.best_step,
@@ -337,17 +339,21 @@ def root_solve(
         banach_x0 = x0
 
     def with_fallback(args):
-        best, x_init = args
+        best, best_gx, x_init = args
         fb = fixed_point_iteration(banach_g, x_init, threshold=banach_threshold, eps=eps)
-        return jnp.where(res.prot_break[:, None], fb, best)
+        take = res.prot_break[:, None]
+        # Keep res.gx == g(returned root) for the patched rows too (one extra
+        # residual eval, only inside this rare branch) so callers can reuse
+        # the residual (e.g. the re-attachment value z + g(z)).
+        return jnp.where(take, fb, best), jnp.where(take, g(fb), best_gx)
 
-    z = jax.lax.cond(
+    z, gz = jax.lax.cond(
         jnp.any(res.prot_break),
         with_fallback,
-        lambda args: args[0],
-        (res.result, banach_x0),
+        lambda args: (args[0], args[1]),
+        (res.result, res.gx, banach_x0),
     )
-    return z, res
+    return z, res._replace(result=z, gx=gz)
 
 
 def analyze_broyden(res: BroydenResult, judge: bool = True, name: str = "forward"):

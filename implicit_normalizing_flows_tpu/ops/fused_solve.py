@@ -1,0 +1,464 @@
+"""Fused Pallas kernel for the forward/inverse Broyden fixed-point solve.
+
+The implicit block's forward solve costs ~5 sequential evaluations of the
+residual conv net per block (``x_embed - g_z(z) - z``; reference semantics
+``implicit_block.py:68-80`` + ``broyden.py:123-193``). Under XLA each eval
+streams the (B, 512, H, W) intermediates to/from HBM and each solver
+iteration is a separately scheduled while_loop step — measured well off the
+tf32 compute roofline on v5e.
+
+This kernel runs the ENTIRE solve for one example per grid step:
+
+* both nets' conv evals in-kernel (same im2col machinery as
+  ``ops.fused_chain`` but in the forward direction, with the swish
+  nonlinearity and conv biases applied in-kernel);
+* the embedding pass ``x_embed = x + g_x(x)`` fused in (one extra eval);
+* Broyden state (z, g, U, V, best iterate) lives in VMEM for the whole
+  solve; the rank-1 update algebra is elementwise VPU work
+  (O(K * c8 * HW) per iteration, negligible next to the conv matmuls);
+* true per-example early exit: the while_loop stops at THAT example's
+  convergence/stall/protective-break, not the batch max.
+
+Solver semantics mirror ``ops.broyden.broyden`` exactly (best-iterate
+return, protective break at 1e6x the initial objective, monotone-window
+stall exit, NaN scrubbing of the rank-1 factors); only float reassociation
+differs. Anything not matching the conv-stack pattern falls back to the XLA
+path (``layers.nets.LipschitzNet.conv_forward_data`` is the gate).
+
+Matmul precision: ``mode='tf32'`` (default, matching IMNF_SOLVER_PRECISION)
+splits f32 operands into bf16 hi/lo parts and takes the 3-pass product
+(hi@hi + hi@lo + lo@hi, f32 accumulation) — the same error model as XLA's
+``tensorfloat32``; ``mode='f32'`` uses full-precision dots.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .fused_chain import _OFFSETS, _make_shifted, _pad_rows
+
+__all__ = ["fused_broyden_solve", "fused_backward_solve", "conv3_forward_mat",
+           "conv3_forward_mats_cout", "conv1x1_forward_mat", "FusedSolveResult"]
+
+_PROTECT_THRES = 1e6  # reference: broyden.py:150
+
+
+class FusedSolveResult(NamedTuple):
+    result: jax.Array      # (B, c, H, W) best iterate
+    gx: jax.Array          # (B, c, H, W) residual at the best iterate
+    nstep: jax.Array       # (B,) int32 per-example iterations
+    diff: jax.Array        # (B,) best objective
+    prot_break: jax.Array  # (B,) bool
+    converged: jax.Array   # (B,) bool
+
+
+def conv3_forward_mat(w, c8):
+    """(O=mid, I=c, 3, 3) conv kernel -> (mid, 9*c8) forward im2col matrix.
+
+    y[m, p] = sum_{d=(ky,kx), i} w[m, i, ky, kx] * x[i, p + delta_d], columns
+    offset-major, channel-minor, input channels padded to ``c8`` per group.
+    """
+    m = jnp.transpose(w, (2, 3, 0, 1)).reshape(9, w.shape[0], w.shape[1])
+    m = _pad_rows(m, c8, axis=2)                    # (9, mid, c8)
+    return jnp.transpose(m, (1, 0, 2)).reshape(w.shape[0], 9 * c8)
+
+
+def conv3_forward_mats_cout(w, c8):
+    """(O=c, I=mid, 3, 3) -> (9*c8, mid) stacked per-offset forward mats for
+    the conv whose OUTPUT carries the small image-channel count:
+    y = sum_d shift_{-d}(W_d @ h)."""
+    m = jnp.transpose(w, (2, 3, 0, 1)).reshape(9, w.shape[0], w.shape[1])
+    m = _pad_rows(m, c8, axis=1)                    # (9, c8, mid)
+    return m.reshape(9 * c8, w.shape[1])
+
+
+def conv1x1_forward_mat(w):
+    """(O, I, 1, 1) -> (O, I) forward matmul matrix."""
+    return w[:, :, 0, 0]
+
+
+def _split_hi_lo(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _make_dot(mode):
+    """(M, K) @ (K, N) -> f32 at the requested precision model:
+    'f32' exact, 'tf32' 3-pass bf16 split, 'bf16' single-pass bf16."""
+    f32 = jnp.float32
+    dn = (((1,), (0,)), ((), ()))
+
+    if mode == "f32":
+        def dot(w, t):
+            return jax.lax.dot_general(w, t, dn, preferred_element_type=f32)
+        return dot
+
+    if mode == "bf16":
+        def dot(w, t):
+            return jax.lax.dot_general(
+                w.astype(jnp.bfloat16), t.astype(jnp.bfloat16), dn,
+                preferred_element_type=f32)
+        return dot
+
+    def dot(w, t):
+        w_hi, w_lo = _split_hi_lo(w)
+        t_hi, t_lo = _split_hi_lo(t)
+        out = jax.lax.dot_general(w_hi, t_hi, dn, preferred_element_type=f32)
+        out += jax.lax.dot_general(w_hi, t_lo, dn, preferred_element_type=f32)
+        out += jax.lax.dot_general(w_lo, t_hi, dn, preferred_element_type=f32)
+        return out
+
+    return dot
+
+
+def _make_eval(shifted, dot, m1, m2, m3, b1, b2, b3, beta0, beta1, beta2,
+               preact, c8, HW):
+    """h (c8, HW) f32 -> net(h) (c8, HW) f32 with swish + biases in-kernel."""
+    inv11 = jnp.float32(1.0 / 1.1)
+
+    def swish(t, b):
+        return t * jax.nn.sigmoid(t * b) * inv11
+
+    def eval_net(h):
+        if preact:
+            h = swish(h, beta0)
+        xsh = jnp.concatenate(
+            [shifted(h, -dy, -dx) for (dy, dx) in _OFFSETS], axis=0)
+        t = dot(m1, xsh) + b1                       # (mid, HW)
+        t = swish(t, beta1)
+        t = dot(m2, t) + b2
+        t = swish(t, beta2)
+        R = dot(m3, t)                              # (9*c8, HW)
+        y = jnp.zeros((c8, HW), jnp.float32)
+        for d, (dy, dx) in enumerate(_OFFSETS):
+            y += shifted(R[d * c8:(d + 1) * c8], -dy, -dx)
+        return y + b3
+
+    return eval_net
+
+
+class _LoopState(NamedTuple):
+    z: jax.Array
+    gx: jax.Array
+    update: jax.Array
+    U: tuple
+    V: tuple
+    best_z: jax.Array
+    best_gx: jax.Array
+    best_obj: jax.Array
+    best_snap: jax.Array
+    best_step: jax.Array
+    nstep: jax.Array
+    prot: jax.Array
+    done: jax.Array
+
+
+def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
+                       stall_patience, stall_rtol):
+    """The Broyden while_loop, run entirely inside a kernel for ONE example.
+
+    Semantics mirror ``ops.broyden.broyden`` per example (best-iterate,
+    protective break, monotone-window stall exit, NaN scrub). The low-rank
+    factors live in the carry as K separate (c8, HW) planes (static unroll):
+    the rank-1 algebra is then pure 2D/scalar VPU work, which Mosaic lowers
+    cleanly (3D major-axis reductions crash the layout pass), and it is
+    negligible next to the conv matmuls.
+    """
+    f32 = jnp.float32
+    norm = lambda g: jnp.sqrt(jnp.sum(g * g))
+    K = threshold
+    zero_plane = jnp.zeros((c8, HW), f32)
+
+    g0 = resid(z0)
+    init_obj = norm(g0)
+    s0 = _LoopState(
+        z=z0, gx=g0, update=-g0,
+        U=(zero_plane,) * K, V=(zero_plane,) * K,
+        best_z=z0, best_gx=g0, best_obj=init_obj, best_snap=init_obj,
+        best_step=jnp.zeros((), jnp.int32), nstep=jnp.zeros((), jnp.int32),
+        prot=jnp.zeros((), jnp.bool_), done=init_obj < eps_i)
+
+    def cond(s):
+        return jnp.logical_not(s.done) & (s.nstep < threshold)
+
+    def body(s):
+        z_new = s.z + s.update
+        g_new = resid(z_new)
+        delta_g = g_new - s.gx
+        nstep = s.nstep + 1
+        obj = norm(g_new)
+
+        improved = obj < s.best_obj
+        best_z = jnp.where(improved, z_new, s.best_z)
+        best_gx = jnp.where(improved, g_new, s.best_gx)
+        best_obj = jnp.where(improved, obj, s.best_obj)
+        best_step = jnp.where(improved, nstep, s.best_step)
+
+        bad = ~jnp.isfinite(obj) | (obj > init_obj * _PROTECT_THRES)
+        prot = s.prot | bad
+        done = bad | (obj < eps_i)
+        if stall_patience is not None:
+            at_check = (nstep % stall_patience) == 0
+            done = done | (at_check & (best_obj > s.best_snap * (1.0 - stall_rtol)))
+            best_snap = jnp.where(at_check, best_obj, s.best_snap)
+        else:
+            best_snap = s.best_snap
+
+        # Rank-1 secant update (broyden.py:174-181); all contractions are
+        # elementwise-multiply + scalar-reduce over (c8, HW) planes.
+        UVd = zero_plane
+        UVg = zero_plane
+        vT = -s.update
+        for k in range(K):
+            UVd = UVd + s.U[k] * jnp.sum(s.V[k] * delta_g)
+            UVg = UVg + s.U[k] * jnp.sum(s.V[k] * g_new)
+            vT = vT + s.V[k] * jnp.sum(s.U[k] * s.update)
+        matvec_dgx = -delta_g + UVd
+        matvec_gx = -g_new + UVg
+        denom = jnp.sum(vT * delta_g)
+        u = (s.update - matvec_dgx) / denom
+        vT = jnp.where(jnp.isfinite(vT), vT, 0.0)
+        u = jnp.where(jnp.isfinite(u), u, 0.0)
+
+        col = (nstep - 1) % threshold
+        U = tuple(jnp.where(col == k, u, s.U[k]) for k in range(K))
+        V = tuple(jnp.where(col == k, vT, s.V[k]) for k in range(K))
+        update = -matvec_gx - u * jnp.sum(vT * g_new)
+
+        return _LoopState(z=z_new, gx=g_new, update=update, U=U, V=V,
+                          best_z=best_z, best_gx=best_gx, best_obj=best_obj,
+                          best_snap=best_snap, best_step=best_step,
+                          nstep=nstep, prot=prot, done=done)
+
+    return jax.lax.while_loop(cond, body, s0)
+
+
+def _solve_kernel(betas_ref, x_ref,
+                  m1x_ref, m2x_ref, m3x_ref, b1x_ref, b2x_ref, b3x_ref,
+                  m1z_ref, m2z_ref, m3z_ref, b1z_ref, b2z_ref, b3z_ref,
+                  z_out_ref, g_out_ref, diag_ref,
+                  *, H, W, c8, mid, threshold, eps_i, stall_patience,
+                  stall_rtol, preact_x, preact_z, warm_start, mode):
+    f32 = jnp.float32
+    HW = H * W
+    shifted = _make_shifted(H, W)
+    dot = _make_dot(mode)
+
+    x = x_ref[0]
+    b1x, b2x, b3x = b1x_ref[:], b2x_ref[:], b3x_ref[:]
+    b1z, b2z, b3z = b1z_ref[:], b2z_ref[:], b3z_ref[:]
+    eval_x = _make_eval(shifted, dot, m1x_ref[:], m2x_ref[:], m3x_ref[:],
+                        b1x, b2x, b3x, betas_ref[0], betas_ref[1],
+                        betas_ref[2], preact_x, c8, HW)
+    eval_z = _make_eval(shifted, dot, m1z_ref[:], m2z_ref[:], m3z_ref[:],
+                        b1z, b2z, b3z, betas_ref[3], betas_ref[4],
+                        betas_ref[5], preact_z, c8, HW)
+
+    x_embed = x + eval_x(x)
+    resid = lambda z: x_embed - eval_z(z) - z
+
+    s = _broyden_in_kernel(resid, x if warm_start else jnp.zeros((c8, HW), f32),
+                           c8=c8, HW=HW, threshold=threshold, eps_i=eps_i,
+                           stall_patience=stall_patience, stall_rtol=stall_rtol)
+
+    z_out_ref[0] = s.best_z
+    g_out_ref[0] = s.best_gx
+    # Mosaic requires (8, 128)-tileable output blocks: write the scalar
+    # diagnostics as lane-broadcast rows of an (8, 128) tile.
+    row = lambda v: jnp.broadcast_to(
+        jnp.asarray(v, f32).reshape(1, 1), (1, 128))
+    diag_ref[0] = jnp.concatenate([
+        row(s.nstep), row(s.best_obj < eps_i), row(s.prot), row(s.best_obj),
+        row(s.best_step), row(0.0), row(0.0), row(0.0)], axis=0)
+
+
+def _make_apply_jt(shifted, dot, m3, m2, m1, s0, s1, s2, c8, HW):
+    """Functional u -> J_g^T u from resident operands (the transpose-direction
+    twin of ``_make_eval``; same math as ``fused_chain._make_apply_jt`` but
+    carry-friendly: no scratch refs)."""
+
+    def apply_JT(u):
+        u9 = jnp.concatenate(
+            [shifted(u, dy, dx) for (dy, dx) in _OFFSETS], axis=0)
+        t = dot(m3, u9) * s2                        # (mid, HW) f32
+        t = dot(m2, t) * s1
+        R = dot(m1, t)                              # (9*c8, HW)
+        v = jnp.zeros((c8, HW), jnp.float32)
+        for d, (dy, dx) in enumerate(_OFFSETS):
+            v += shifted(R[d * c8:(d + 1) * c8], dy, dx)
+        return v * s0
+
+    return apply_JT
+
+
+def _backward_kernel(grad_ref, s0_ref, s1_ref, s2_ref,
+                     m3_ref, m2_ref, m1_ref, u_out_ref,
+                     *, H, W, c8, mid, threshold, eps_i, stall_patience,
+                     stall_rtol, mode):
+    """Solve u (I + J_gz) = grad for one example, fully in VMEM: the
+    linearization tensors s0/s1/s2 stay resident across all iterations
+    (the XLA path re-streams them per VJP application)."""
+    f32 = jnp.float32
+    HW = H * W
+    shifted = _make_shifted(H, W)
+    dot = _make_dot(mode)
+    apply_JT = _make_apply_jt(shifted, dot, m3_ref[:], m2_ref[:], m1_ref[:],
+                              s0_ref[0].astype(f32), s1_ref[0].astype(f32),
+                              s2_ref[0].astype(f32), c8, HW)
+    grad = grad_ref[0]
+    resid = lambda u: u + apply_JT(u) - grad
+    s = _broyden_in_kernel(resid, jnp.zeros((c8, HW), f32),
+                           c8=c8, HW=HW, threshold=threshold, eps_i=eps_i,
+                           stall_patience=stall_patience, stall_rtol=stall_rtol)
+    u_out_ref[0] = s.best_z
+
+
+def fused_backward_solve(grad, chain_data, *, threshold, eps,
+                         stall_patience, stall_rtol, mode="bf16",
+                         interpret=False):
+    """Fused implicit-gradient solve ``u (I + J_gz) = grad``
+    (``imBlock.Backward.backward``, reference implicit_block.py:196-206).
+
+    ``chain_data`` is (s0, s1, s2, w1, w2, w3) from
+    ``LipschitzNet.conv_chain_data`` at the linearization point (the
+    re-attached z), at the caller's precision cast — identical inputs to the
+    XLA path's ``jax.vjp`` chain. ``mode='bf16'`` matches the default
+    IMNF_BWD_PRECISION (J_gz applications in bf16, solver state f32).
+    Returns u with grad's (B, c, H, W) shape.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .fused_chain import (conv1x1_transpose_mat, conv3_transpose_mats,
+                              conv3_transpose_mats_cout)
+
+    B, c, H, W = grad.shape
+    HW = H * W
+    c8 = max(8, -(-c // 8) * 8)
+    eps_i = float(eps) * ((c * H * W) ** 0.5)
+
+    s0, s1, s2, w1, w2, w3 = [jax.lax.stop_gradient(a) for a in chain_data]
+    mdt = jnp.bfloat16 if mode == "bf16" else jnp.float32
+    m3 = conv3_transpose_mats(w3.astype(mdt), c8)
+    m2 = conv1x1_transpose_mat(w2.astype(mdt))
+    m1 = conv3_transpose_mats_cout(w1.astype(mdt), c8)
+    mid = m2.shape[0]
+
+    gp = _pad_c(grad.astype(jnp.float32), c8)
+    s0p = _pad_c(s0, c8)
+    fl = lambda a: a.reshape(B, a.shape[1], HW)
+    s1p, s2p = fl(s1), fl(s2)
+
+    ex = lambda i: (i, 0, 0)
+    const2 = lambda r, s: pl.BlockSpec((r, s), lambda i: (0, 0))
+    out = pl.pallas_call(
+        functools.partial(_backward_kernel, H=H, W=W, c8=c8, mid=mid,
+                          threshold=int(threshold), eps_i=eps_i,
+                          stall_patience=stall_patience,
+                          stall_rtol=stall_rtol, mode=mode),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, c8, HW), ex),
+                  pl.BlockSpec((1, c8, HW), ex),
+                  pl.BlockSpec((1, mid, HW), ex),
+                  pl.BlockSpec((1, mid, HW), ex),
+                  const2(mid, 9 * c8), const2(mid, mid), const2(9 * c8, mid)],
+        out_specs=pl.BlockSpec((1, c8, HW), ex),
+        out_shape=jax.ShapeDtypeStruct((B, c8, HW), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(gp, s0p, s1p, s2p, m3, m2, m1)
+    return out[:, :c].reshape(B, c, H, W)
+
+
+def _pad_c(a, c8):
+    """(B, c, H, W) -> (B, c8, H*W) zero-padded channels."""
+    B, c, H, W = a.shape
+    a = a.reshape(B, c, H * W)
+    return _pad_rows(a, c8, axis=1)
+
+
+def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
+                        stall_patience, stall_rtol, warm_start=False,
+                        mode="tf32", interpret=False) -> FusedSolveResult:
+    """Solve ``z : x + g_x(x) = z + g_z(z)`` for a batch, fully in-kernel.
+
+    Args:
+      x: (B, c, H, W) f32 block input.
+      data_x / data_z: ``LipschitzNet.conv_forward_data`` dicts for the
+        embedding net (evaluated once at ``x``) and the solved net.
+      threshold: max Broyden iterations (== rank budget K).
+      eps: base tolerance; the per-example tolerance is ``eps * sqrt(D)``
+        with D the TRUE (unpadded) dimensionality, matching ``ops.broyden``.
+      warm_start: start from x instead of zeros.
+      mode: 'tf32' (3-pass bf16 split, matches IMNF_SOLVER_PRECISION default)
+        or 'f32'.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, c, H, W = x.shape
+    HW = H * W
+    c8 = max(8, -(-c // 8) * 8)
+    D = c * H * W
+    eps_i = float(eps) * (D ** 0.5)
+
+    def prep(data):
+        m1 = conv3_forward_mat(data["w1"].astype(jnp.float32), c8)
+        m2 = conv1x1_forward_mat(data["w2"].astype(jnp.float32))
+        m3 = conv3_forward_mats_cout(data["w3"].astype(jnp.float32), c8)
+        b1 = data["b1"].astype(jnp.float32)[:, None]
+        b2 = data["b2"].astype(jnp.float32)[:, None]
+        b3 = _pad_rows(data["b3"].astype(jnp.float32), c8, 0)[:, None]
+        return m1, m2, m3, b1, b2, b3
+
+    mats_x, mats_z = prep(data_x), prep(data_z)
+    mid = mats_x[1].shape[0]
+    betas = jnp.concatenate([data_x["betas"], data_z["betas"]]).astype(jnp.float32)
+
+    xp = _pad_c(x.astype(jnp.float32), c8)
+
+    ex = lambda i, b: (i, 0, 0)
+    const2 = lambda r, s: pl.BlockSpec((r, s), lambda i, b: (0, 0))
+    in_specs = [pl.BlockSpec((1, c8, HW), ex)]
+    for _ in range(2):
+        in_specs += [const2(mid, 9 * c8), const2(mid, mid),
+                     const2(9 * c8, mid),
+                     const2(mid, 1), const2(mid, 1), const2(c8, 1)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, c8, HW), ex),
+                   pl.BlockSpec((1, c8, HW), ex),
+                   pl.BlockSpec((1, 8, 128), ex)],
+    )
+    kernel = functools.partial(
+        _solve_kernel, H=H, W=W, c8=c8, mid=mid, threshold=int(threshold),
+        eps_i=eps_i, stall_patience=stall_patience, stall_rtol=stall_rtol,
+        preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
+        warm_start=bool(warm_start), mode=mode)
+    z_p, g_p, diag = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, c8, HW), jnp.float32),
+                   jax.ShapeDtypeStruct((B, c8, HW), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(betas, xp, *mats_x, *mats_z)
+
+    unpad = lambda a: a[:, :c].reshape(B, c, H, W)
+    diag = diag[:, :, 0]
+    return FusedSolveResult(
+        result=unpad(z_p), gx=unpad(g_p),
+        nstep=diag[:, 0].astype(jnp.int32),
+        diff=diag[:, 3],
+        prot_break=diag[:, 2] > 0.5,
+        converged=diag[:, 1] > 0.5,
+    )

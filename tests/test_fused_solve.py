@@ -1,0 +1,161 @@
+"""Fused Broyden-solve Pallas kernel vs the XLA while_loop solver.
+
+Runs the kernel in interpreter mode on CPU and checks that the in-kernel
+solve (both nets' conv evals + rank-1 state resident) reproduces the XLA
+``root_solve`` path through ``ImplicitBlock``: same root, same re-attached
+output, same gradients through the custom VJP (whose backward is shared).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from implicit_normalizing_flows_tpu.layers.implicit_block import ImplicitBlock
+from implicit_normalizing_flows_tpu.models.implicit_flow import build_conv_net
+
+
+def _make_block(preact=True, first_resblock=False, warm_start=False):
+    def make_net():
+        return build_conv_net(
+            (3, 8, 8), 16, "3-1-3", 0.9, [2.0] * 3, [2.0] * 3, 3, "swish",
+            preact=preact, dropout=0.0, sn_atol=None, sn_rtol=None,
+            learn_p=False, first_resblock=first_resblock)
+
+    return ImplicitBlock(make_net(), make_net(), n_dist="poisson",
+                         n_exact_terms=2, neumann_grad=True,
+                         grad_in_forward=False, warm_start=warm_start)
+
+
+@pytest.mark.parametrize("preact", [True, False])
+def test_fused_solve_matches_xla(monkeypatch, preact):
+    monkeypatch.setenv("IMNF_SOLVER_PRECISION", "float32")
+    block = _make_block(preact=preact, first_resblock=not preact)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+
+    def run():
+        z, _, state = block.forward(variables, x)
+        return z, state["solver_diag"]
+
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "0")
+    z_xla, diag_xla = run()
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "interpret")
+    z_fused, diag_fused = run()
+
+    np.testing.assert_allclose(np.asarray(z_fused), np.asarray(z_xla),
+                               rtol=1e-4, atol=1e-5)
+    # same per-example trajectories -> same iteration count & convergence
+    np.testing.assert_allclose(np.asarray(diag_fused)[:2],
+                               np.asarray(diag_xla)[:2], atol=1.0)
+    assert float(diag_fused[1]) == 1.0  # all examples converged
+
+
+def test_fused_solve_gradients_match(monkeypatch):
+    monkeypatch.setenv("IMNF_SOLVER_PRECISION", "float32")
+    monkeypatch.setenv("IMNF_BF16_EST", "0")
+    monkeypatch.setenv("IMNF_BWD_PRECISION", "f32")
+    monkeypatch.setenv("IMNF_FUSED_CHAIN", "0")
+    block = _make_block()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+    rng = jax.random.PRNGKey(2)
+
+    def run():
+        def loss(params, xx):
+            v = {"params": params, "state": variables["state"]}
+            z, dlogp, _ = block.forward(v, xx, jnp.zeros((2,)), rng=rng,
+                                        train=True)
+            return jnp.sum(z ** 2) + jnp.sum(dlogp)
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1))(
+            variables["params"], x)
+        return val, grads
+
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "0")
+    val_xla, g_xla = run()
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "interpret")
+    val_fused, g_fused = run()
+
+    np.testing.assert_allclose(float(val_fused), float(val_xla), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_fused_solve_warm_start(monkeypatch):
+    monkeypatch.setenv("IMNF_SOLVER_PRECISION", "float32")
+    block = _make_block(warm_start=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "0")
+    z_xla, _, _ = block.forward(variables, x)
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "interpret")
+    z_fused, _, _ = block.forward(variables, x)
+    np.testing.assert_allclose(np.asarray(z_fused), np.asarray(z_xla),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_backward_solve_matches_xla(monkeypatch):
+    """Gradients with the fused implicit-gradient solve (interpret mode) vs
+    the XLA broyden backward, f32 everywhere."""
+    monkeypatch.setenv("IMNF_SOLVER_PRECISION", "float32")
+    monkeypatch.setenv("IMNF_BF16_EST", "0")
+    monkeypatch.setenv("IMNF_BWD_PRECISION", "f32")
+    monkeypatch.setenv("IMNF_FUSED_CHAIN", "0")
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "0")
+    block = _make_block()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+    rng = jax.random.PRNGKey(2)
+
+    def run():
+        def loss(params, xx):
+            v = {"params": params, "state": variables["state"]}
+            z, dlogp, _ = block.forward(v, xx, jnp.zeros((2,)), rng=rng,
+                                        train=True)
+            return jnp.sum(z ** 2) + jnp.sum(dlogp)
+        return jax.value_and_grad(loss, argnums=(0, 1))(
+            variables["params"], x)
+
+    monkeypatch.setenv("IMNF_FUSED_BWD", "0")
+    val_xla, g_xla = run()
+    monkeypatch.setenv("IMNF_FUSED_BWD", "interpret")
+    val_fused, g_fused = run()
+
+    np.testing.assert_allclose(float(val_fused), float(val_xla), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_fused_inverse_matches_xla_and_roundtrips(monkeypatch):
+    monkeypatch.setenv("IMNF_SOLVER_PRECISION", "float32")
+    block = _make_block()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+    z, _, _ = block.forward(variables, x)
+
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "0")
+    x_xla, _ = block.inverse(variables, z)
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "interpret")
+    x_fused, _ = block.inverse(variables, z)
+
+    np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x_xla),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x_fused), np.asarray(x),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_fused_solve_tf32_mode_close(monkeypatch):
+    """tf32 (3-pass bf16 split) kernel mode stays within solver tolerance of
+    the f32 root."""
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "interpret")
+    monkeypatch.setenv("IMNF_SOLVER_PRECISION", "float32")
+    block = _make_block()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+    z_f32, _, _ = block.forward(variables, x)
+    monkeypatch.setenv("IMNF_SOLVER_PRECISION", "tensorfloat32")
+    z_tf32, _, _ = block.forward(variables, x)
+    np.testing.assert_allclose(np.asarray(z_tf32), np.asarray(z_f32),
+                               rtol=5e-3, atol=5e-3)
