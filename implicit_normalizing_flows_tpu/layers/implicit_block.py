@@ -63,6 +63,11 @@ class SolverConfig:
     eps_backward: float = 1e-10
     eps_sample: float = 1e-5
     threshold: int = 30
+    # warm_start default ON (reference starts from zeros): verified
+    # root-equivalent (same eps*sqrt(D) stopping criterion => same root
+    # quality), and with the fused solve kernel it cuts the forward solve
+    # from ~4 to ~2.5 iterations (80.2 -> 76.4 ms/step on the CIFAR recipe,
+    # bpd identical). IMNF_WARM_START=0 restores cold starts.
     # Backward (implicit-gradient) solve budget. The reference shares the
     # forward budget (30, implicit_block.py:230) with eps 1e-10 that no
     # arithmetic reaches; measured full-step gradients vs the budget-30
@@ -225,8 +230,21 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
         z_hat = jax.lax.stop_gradient(z_hat)
         return (z, diag), (vars_x, vars_z, x, z_hat, z)
 
+    bwd_core = _make_bwd_core(nnet_x, nnet_z, cfg)
+
     def bwd(res, grads):
         grad, _ = grads  # diag cotangent is symbolically zero
+        return bwd_core(res, grad)
+
+    implicit_forward.defvjp(fwd, bwd)
+    return implicit_forward
+
+
+def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
+    """The implicit-gradient backward shared by both custom-VJP forwards."""
+    apply_x, apply_z = nnet_x.apply, nnet_z.apply
+
+    def bwd_core(res, grad):
         vars_x, vars_z, x, z_hat, z = res
         B = x.shape[0]
         flat = lambda a: a.reshape(B, -1)
@@ -301,8 +319,96 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
         d_vx, d_vz, d_x = vjp_re(u)
         return d_vx, d_vz, d_x
 
-    implicit_forward.defvjp(fwd, bwd)
-    return implicit_forward
+    return bwd_core
+
+
+def _make_implicit_forward_est(nnet_x, nnet_z, cfg: SolverConfig):
+    """Custom-VJP forward for the merged block kernel
+    (``ops.fused_solve.fused_block_forward``): one Pallas launch runs the
+    Broyden solve AND both nets' Neumann-chain accumulations, with the
+    activation-derivative tensors built in-kernel from the solve's own
+    pre-activation byproducts. Extra inputs (probes, signed roulette
+    coefficients, chain length) are stop-gradient estimator state; bwd
+    returns zero cotangents for them.
+
+    Known deviation (documented): if the protective break fires for a row,
+    the Banach fallback patches that row's z, but its chain accumulation is
+    reset to the probe (k=0 truncation) instead of being recomputed at the
+    fallback root — the reference recomputes the full estimator after the
+    fallback (implicit_block.py:74-80). The break never fires in healthy
+    training (telemetry broyden_prot == 0) and the reset keeps the loss
+    finite rather than propagating a diverged linearization.
+    """
+    apply_x, apply_z = nnet_x.apply, nnet_z.apply
+    bwd_core = _make_bwd_core(nnet_x, nnet_z, cfg)
+
+    def run(vars_x, vars_z, x, eps_x, eps_z, signed, n_power_f):
+        from ..ops.fused_solve import fused_block_forward
+
+        vx, vz = _sg(vars_x), _sg(vars_z)
+        data_x = nnet_x.conv_forward_data(vx)
+        data_z = nnet_z.conv_forward_data(vz)
+        xs = jax.lax.stop_gradient(x)
+        interp = os.environ.get("IMNF_FUSED_BLOCK", "0") == "interpret"
+        res, acc_x, acc_z = fused_block_forward(
+            xs, data_x, data_z,
+            jax.lax.stop_gradient(eps_x), jax.lax.stop_gradient(eps_z),
+            jax.lax.stop_gradient(signed), n_power_f,
+            threshold=cfg.threshold, eps=cfg.eps_forward,
+            stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
+            warm_start=cfg.warm_start, mode=_fused_solve_mode(),
+            interpret=interp)
+
+        B = x.shape[0]
+        flat = lambda a: a.reshape(B, -1)
+        unflat = lambda a: a.reshape(x.shape)
+
+        def with_fb(args):
+            zb, gb, ax, az = args
+            prec = os.environ.get("IMNF_SOLVER_PRECISION", "tensorfloat32")
+            with jax.default_matmul_precision(prec):
+                x_embed = flat(apply_x(vx, xs)) + flat(xs)
+                bg = lambda zf: x_embed - flat(apply_z(vz, unflat(zf)))
+                fb = fixed_point_iteration(
+                    bg, flat(xs), threshold=cfg.banach_threshold,
+                    eps=cfg.eps_forward)
+                gfb = bg(fb) - fb
+            take = res.prot_break[:, None]
+            return (jnp.where(take, fb, zb), jnp.where(take, gfb, gb),
+                    jnp.where(take, flat(eps_x), ax),
+                    jnp.where(take, flat(eps_z), az))
+
+        zf, gf, ax, az = jax.lax.cond(
+            jnp.any(res.prot_break), with_fb, lambda args: args,
+            (flat(res.result), flat(res.gx), flat(acc_x), flat(acc_z)))
+        diag = jnp.stack([
+            jnp.max(res.nstep).astype(jnp.float32),
+            jnp.mean(res.converged.astype(jnp.float32)),
+            jnp.any(res.prot_break).astype(jnp.float32),
+        ])
+        return (unflat(zf), unflat(zf + gf), diag, unflat(ax), unflat(az))
+
+    @jax.custom_vjp
+    def implicit_forward_est(vars_x, vars_z, x, eps_x, eps_z, signed, n_power_f):
+        _, z, diag, ax, az = run(vars_x, vars_z, x, eps_x, eps_z, signed, n_power_f)
+        return z, diag, ax, az
+
+    def fwd(vars_x, vars_z, x, eps_x, eps_z, signed, n_power_f):
+        z_hat, z, diag, ax, az = run(vars_x, vars_z, x, eps_x, eps_z, signed,
+                                     n_power_f)
+        return (z, diag, ax, az), (vars_x, vars_z, x, z_hat, z,
+                                   eps_x, eps_z, signed, n_power_f)
+
+    def bwd(res, grads):
+        grad = grads[0]  # diag/acc cotangents are symbolically zero
+        vars_x, vars_z, x, z_hat, z, eps_x, eps_z, signed, n_power_f = res
+        d_vx, d_vz, d_x = bwd_core((vars_x, vars_z, x, z_hat, z), grad)
+        return (d_vx, d_vz, d_x, jnp.zeros_like(eps_x),
+                jnp.zeros_like(eps_z), jnp.zeros_like(signed),
+                jnp.zeros_like(n_power_f))
+
+    implicit_forward_est.defvjp(fwd, bwd)
+    return implicit_forward_est
 
 
 class ImplicitBlock(Flow):
@@ -355,9 +461,13 @@ class ImplicitBlock(Flow):
             threshold=int(os.environ.get("IMNF_FWD_THRESHOLD", threshold)),
             threshold_backward=int(os.environ.get("IMNF_BWD_THRESHOLD",
                                                   min(4, threshold))),
-            warm_start=warm_start or os.environ.get("IMNF_WARM_START") == "1",
+            warm_start=(warm_start
+                        or os.environ.get("IMNF_WARM_START", "1") != "0"),
         )
         self._implicit_forward = _make_implicit_forward(
+            self.nnet_x, self.nnet_z, self.solver_cfg
+        )
+        self._implicit_forward_est = _make_implicit_forward_est(
             self.nnet_x, self.nnet_z, self.solver_cfg
         )
 
@@ -393,7 +503,89 @@ class ImplicitBlock(Flow):
         return x
 
     # ---- flow protocol ----
+    def _merged_forward_ok(self, variables, x, rng, train):
+        """Gate for the merged solve+estimator kernel (IMNF_FUSED_BLOCK).
+
+        OFF by default: measured on v5e (CIFAR recipe), the merged kernel is
+        SLOWER than the split solve + chain2 kernels (14.8 vs 12.2 ms per
+        32x32 block; whole step 85-99 vs 80.4 ms) — the expected XLA-side
+        saving never materialises because the linearization recompute was
+        already CSE'd with the backward solve's, and the bigger kernel
+        schedules worse under Mosaic. Kept as an opt-in experiment
+        (IMNF_FUSED_BLOCK=1) and for the interpret-mode estimator oracle."""
+        cfg = self.logdet_cfg
+        if not (train and rng is not None and x.ndim == 4
+                and cfg.neumann_grad and not cfg.grad_in_forward
+                and cfg.n_probes <= 1 and not cfg.exact_trace
+                and not cfg.brute_force):
+            return False
+        env = os.environ.get("IMNF_FUSED_BLOCK", "0")
+        if env == "0":
+            return False
+        if env != "interpret":
+            if jax.devices()[0].platform != "tpu":
+                return False
+            if x.shape[2] * x.shape[3] < int(
+                    os.environ.get("IMNF_FUSED_SOLVE_MIN_HW", "256")):
+                return False
+        get_x = getattr(self.nnet_x, "conv_forward_data", None)
+        get_z = getattr(self.nnet_z, "conv_forward_data", None)
+        if not (get_x and get_z):
+            return False
+        vx = _sg(self._net_vars(variables, "nnet_x"))
+        vz = _sg(self._net_vars(variables, "nnet_z"))
+        return get_x(vx) is not None and get_z(vz) is not None
+
+    def _forward_merged(self, variables, x, logpx, rng):
+        """Merged path: solve + both Neumann chains in one kernel, then the
+        single differentiable VJP per net (reference estimator semantics,
+        implicit_block.py:429-438)."""
+        cfg = self.logdet_cfg
+        vx = self._net_vars(variables, "nnet_x")
+        vz = self._net_vars(variables, "nnet_z")
+        k_n, k_ex, k_ez = jax.random.split(rng, 3)
+        geom_p = jax.nn.sigmoid(variables["params"]["geom_p"])
+        lamb = variables["params"]["lamb"]
+        coeffs, n_power, n_samples = ld.sample_n_dist(k_n, cfg, geom_p, lamb, True)
+        vareps_x = ld.sample_rademacher(k_ex, (1,) + x.shape, x.dtype)[0]
+        vareps_z = ld.sample_rademacher(k_ez, (1,) + x.shape, x.dtype)[0]
+        cap = coeffs.shape[0]
+        ks = jnp.arange(1, cap + 1)
+        signed = jnp.where(ks % 2 == 0, 1.0, -1.0) * jax.lax.stop_gradient(coeffs)
+
+        z, diag, acc_x, acc_z = self._implicit_forward_est(
+            vx, vz, x, vareps_x, vareps_z, signed,
+            n_power.astype(jnp.float32))
+
+        bf16_est = os.environ.get("IMNF_BF16_EST", "1") != "0"
+
+        def _cast(tree, dtype):
+            return jax.tree.map(
+                lambda a: a.astype(dtype) if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                tree)
+
+        if bf16_est:
+            bf = jnp.bfloat16
+            ld_x = ld.neumann_final(self.nnet_x.apply, _cast(vx, bf),
+                                    x.astype(bf), vareps_x.astype(bf), acc_x)
+            ld_z = ld.neumann_final(self.nnet_z.apply, _cast(vz, bf),
+                                    z.astype(bf), vareps_z.astype(bf), acc_z)
+        else:
+            ld_x = ld.neumann_final(self.nnet_x.apply, vx, x, vareps_x, acc_x)
+            ld_z = ld.neumann_final(self.nnet_z.apply, vz, z, vareps_z, acc_z)
+        logdet = (ld_x - ld_z).astype(jnp.float32)
+
+        state = dict(variables["state"], solver_diag=jax.lax.stop_gradient(diag))
+        if cfg.n_power_series is None:
+            est = jax.lax.stop_gradient(logdet)
+            state["last_n_samples"] = n_samples.astype(jnp.float32)
+            state["last_firmom"] = jnp.mean(est)[None]
+            state["last_secmom"] = jnp.mean(est ** 2)[None]
+        return z, logpx - logdet, state
+
     def forward(self, variables, x, logpx=None, *, rng=None, train=False):
+        if logpx is not None and self._merged_forward_ok(variables, x, rng, train):
+            return self._forward_merged(variables, x, logpx, rng)
         vx = self._net_vars(variables, "nnet_x")
         vz = self._net_vars(variables, "nnet_z")
         z, diag = self._implicit_forward(vx, vz, x)

@@ -40,8 +40,9 @@ import jax.numpy as jnp
 
 from .fused_chain import _OFFSETS, _make_shifted, _pad_rows
 
-__all__ = ["fused_broyden_solve", "fused_backward_solve", "conv3_forward_mat",
-           "conv3_forward_mats_cout", "conv1x1_forward_mat", "FusedSolveResult"]
+__all__ = ["fused_broyden_solve", "fused_backward_solve", "fused_block_forward",
+           "conv3_forward_mat", "conv3_forward_mats_cout", "conv1x1_forward_mat",
+           "FusedSolveResult"]
 
 _PROTECT_THRES = 1e6  # reference: broyden.py:150
 
@@ -115,28 +116,41 @@ def _make_dot(mode):
     return dot
 
 
-def _make_eval(shifted, dot, m1, m2, m3, b1, b2, b3, beta0, beta1, beta2,
-               preact, c8, HW):
-    """h (c8, HW) f32 -> net(h) (c8, HW) f32 with swish + biases in-kernel."""
-    inv11 = jnp.float32(1.0 / 1.1)
+def _swish(t, b):
+    return t * jax.nn.sigmoid(t * b) * jnp.float32(1.0 / 1.1)
 
-    def swish(t, b):
-        return t * jax.nn.sigmoid(t * b) * inv11
+
+def _dswish(t, b):
+    s = jax.nn.sigmoid(t * b)
+    return (s + t * b * s * (1.0 - s)) * jnp.float32(1.0 / 1.1)
+
+
+def _make_eval(shifted, dot, m1, m2, m3, b1, b2, b3, beta0, beta1, beta2,
+               preact, c8, HW, want_aux=False):
+    """h (c8, HW) f32 -> net(h) (c8, HW) f32 with swish + biases in-kernel.
+
+    With ``want_aux`` the eval also returns the pre-activation tensors
+    ``(h1, h2)`` — enough (with the input) to reconstruct the activation
+    derivatives s0/s1/s2 for the Neumann chain's J^T applications.
+    """
 
     def eval_net(h):
         if preact:
-            h = swish(h, beta0)
+            h = _swish(h, beta0)
         xsh = jnp.concatenate(
             [shifted(h, -dy, -dx) for (dy, dx) in _OFFSETS], axis=0)
-        t = dot(m1, xsh) + b1                       # (mid, HW)
-        t = swish(t, beta1)
-        t = dot(m2, t) + b2
-        t = swish(t, beta2)
+        h1 = dot(m1, xsh) + b1                      # (mid, HW)
+        t = _swish(h1, beta1)
+        h2 = dot(m2, t) + b2
+        t = _swish(h2, beta2)
         R = dot(m3, t)                              # (9*c8, HW)
         y = jnp.zeros((c8, HW), jnp.float32)
         for d, (dy, dx) in enumerate(_OFFSETS):
             y += shifted(R[d * c8:(d + 1) * c8], -dy, -dx)
-        return y + b3
+        y = y + b3
+        if want_aux:
+            return y, (h1, h2)
+        return y
 
     return eval_net
 
@@ -149,6 +163,7 @@ class _LoopState(NamedTuple):
     V: tuple
     best_z: jax.Array
     best_gx: jax.Array
+    best_aux: tuple
     best_obj: jax.Array
     best_snap: jax.Array
     best_step: jax.Array
@@ -167,18 +182,27 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
     the rank-1 algebra is then pure 2D/scalar VPU work, which Mosaic lowers
     cleanly (3D major-axis reductions crash the layout pass), and it is
     negligible next to the conv matmuls.
+
+    ``resid`` may return either ``g`` or ``(g, aux)`` where aux is a tuple of
+    per-eval byproducts (e.g. pre-activation tensors); the returned state
+    carries the best iterate's aux alongside it.
     """
     f32 = jnp.float32
     norm = lambda g: jnp.sqrt(jnp.sum(g * g))
     K = threshold
     zero_plane = jnp.zeros((c8, HW), f32)
 
-    g0 = resid(z0)
+    def eval_resid(z):
+        out = resid(z)
+        return out if isinstance(out, tuple) else (out, ())
+
+    g0, aux0 = eval_resid(z0)
     init_obj = norm(g0)
     s0 = _LoopState(
         z=z0, gx=g0, update=-g0,
         U=(zero_plane,) * K, V=(zero_plane,) * K,
-        best_z=z0, best_gx=g0, best_obj=init_obj, best_snap=init_obj,
+        best_z=z0, best_gx=g0, best_aux=aux0, best_obj=init_obj,
+        best_snap=init_obj,
         best_step=jnp.zeros((), jnp.int32), nstep=jnp.zeros((), jnp.int32),
         prot=jnp.zeros((), jnp.bool_), done=init_obj < eps_i)
 
@@ -187,7 +211,7 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
 
     def body(s):
         z_new = s.z + s.update
-        g_new = resid(z_new)
+        g_new, aux_new = eval_resid(z_new)
         delta_g = g_new - s.gx
         nstep = s.nstep + 1
         obj = norm(g_new)
@@ -195,6 +219,8 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
         improved = obj < s.best_obj
         best_z = jnp.where(improved, z_new, s.best_z)
         best_gx = jnp.where(improved, g_new, s.best_gx)
+        best_aux = tuple(jnp.where(improved, a_new, a_old)
+                         for a_new, a_old in zip(aux_new, s.best_aux))
         best_obj = jnp.where(improved, obj, s.best_obj)
         best_step = jnp.where(improved, nstep, s.best_step)
 
@@ -230,9 +256,10 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
         update = -matvec_gx - u * jnp.sum(vT * g_new)
 
         return _LoopState(z=z_new, gx=g_new, update=update, U=U, V=V,
-                          best_z=best_z, best_gx=best_gx, best_obj=best_obj,
-                          best_snap=best_snap, best_step=best_step,
-                          nstep=nstep, prot=prot, done=done)
+                          best_z=best_z, best_gx=best_gx, best_aux=best_aux,
+                          best_obj=best_obj, best_snap=best_snap,
+                          best_step=best_step, nstep=nstep, prot=prot,
+                          done=done)
 
     return jax.lax.while_loop(cond, body, s0)
 
@@ -353,25 +380,30 @@ def fused_backward_solve(grad, chain_data, *, threshold, eps,
     fl = lambda a: a.reshape(B, a.shape[1], HW)
     s1p, s2p = fl(s1), fl(s2)
 
-    ex = lambda i: (i, 0, 0)
-    const2 = lambda r, s: pl.BlockSpec((r, s), lambda i: (0, 0))
-    out = pl.pallas_call(
-        functools.partial(_backward_kernel, H=H, W=W, c8=c8, mid=mid,
-                          threshold=int(threshold), eps_i=eps_i,
-                          stall_patience=stall_patience,
-                          stall_rtol=stall_rtol, mode=mode),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, c8, HW), ex),
-                  pl.BlockSpec((1, c8, HW), ex),
-                  pl.BlockSpec((1, mid, HW), ex),
-                  pl.BlockSpec((1, mid, HW), ex),
-                  const2(mid, 9 * c8), const2(mid, mid), const2(9 * c8, mid)],
-        out_specs=pl.BlockSpec((1, c8, HW), ex),
-        out_shape=jax.ShapeDtypeStruct((B, c8, HW), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-        interpret=interpret,
-    )(gp, s0p, s1p, s2p, m3, m2, m1)
+    def _call(gp, s0p, s1p, s2p, m3, m2, m1):
+        Bl = gp.shape[0]  # per-shard batch under shard_map
+        ex = lambda i: (i, 0, 0)
+        const2 = lambda r, s: pl.BlockSpec((r, s), lambda i: (0, 0))
+        return pl.pallas_call(
+            functools.partial(_backward_kernel, H=H, W=W, c8=c8, mid=mid,
+                              threshold=int(threshold), eps_i=eps_i,
+                              stall_patience=stall_patience,
+                              stall_rtol=stall_rtol, mode=mode),
+            grid=(Bl,),
+            in_specs=[pl.BlockSpec((1, c8, HW), ex),
+                      pl.BlockSpec((1, c8, HW), ex),
+                      pl.BlockSpec((1, mid, HW), ex),
+                      pl.BlockSpec((1, mid, HW), ex),
+                      const2(mid, 9 * c8), const2(mid, mid), const2(9 * c8, mid)],
+            out_specs=pl.BlockSpec((1, c8, HW), ex),
+            out_shape=jax.ShapeDtypeStruct((Bl, c8, HW), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(gp, s0p, s1p, s2p, m3, m2, m1)
+
+    out = _maybe_shard(_call, n_batch_leading=4, n_rep_leading=0, n_out=1)(
+        gp, s0p, s1p, s2p, m3, m2, m1)
     return out[:, :c].reshape(B, c, H, W)
 
 
@@ -380,6 +412,244 @@ def _pad_c(a, c8):
     B, c, H, W = a.shape
     a = a.reshape(B, c, H * W)
     return _pad_rows(a, c8, axis=1)
+
+
+def _maybe_shard(call, n_batch_leading, n_rep_leading, n_out):
+    """Partition a pallas-invoking function over the active mesh's 'data'
+    axis via shard_map. Under GSPMD jit a pallas_call is an opaque custom
+    call — with batch-sharded operands XLA would insert all-gathers and run
+    it replicated; shard_map instead traces the kernel per shard (grid and
+    block specs see the LOCAL batch), which is the TPU-native partitioning.
+
+    Arg layout contract: ``n_rep_leading`` replicated args (scalars/roulette)
+    first, then ``n_batch_leading`` batch-leading tensors, then replicated
+    matrices. All ``n_out`` outputs are batch-leading.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.sharding import get_abstract_mesh
+
+    m = get_abstract_mesh()
+    names = getattr(m, "axis_names", ())
+    if "data" not in names or dict(m.shape).get("data", 1) <= 1:
+        return call
+
+    def in_spec(i, a):
+        if n_rep_leading <= i < n_rep_leading + n_batch_leading:
+            return P("data", *([None] * (a.ndim - 1)))
+        return P()
+
+    def wrapped(*args):
+        in_specs = tuple(in_spec(i, a) for i, a in enumerate(args))
+        out_specs = tuple(P("data", None, None) for _ in range(n_out))
+        if n_out == 1:
+            out_specs = out_specs[0]
+        return jax.shard_map(call, mesh=m, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)(*args)
+
+    return wrapped
+
+
+def _prep_fwd(data, c8):
+    """Forward-direction im2col matrices + biases from a
+    ``conv_forward_data`` dict."""
+    m1 = conv3_forward_mat(data["w1"].astype(jnp.float32), c8)
+    m2 = conv1x1_forward_mat(data["w2"].astype(jnp.float32))
+    m3 = conv3_forward_mats_cout(data["w3"].astype(jnp.float32), c8)
+    b1 = data["b1"].astype(jnp.float32)[:, None]
+    b2 = data["b2"].astype(jnp.float32)[:, None]
+    b3 = _pad_rows(data["b3"].astype(jnp.float32), c8, 0)[:, None]
+    return m1, m2, m3, b1, b2, b3
+
+
+def _prep_jt(data, c8, dtype):
+    """Transpose-direction (cotangent) matrices for the Neumann chain."""
+    from .fused_chain import (conv1x1_transpose_mat, conv3_transpose_mats,
+                              conv3_transpose_mats_cout)
+
+    m3t = conv3_transpose_mats(data["w3"].astype(dtype), c8)
+    m2t = conv1x1_transpose_mat(data["w2"].astype(dtype))
+    m1t = conv3_transpose_mats_cout(data["w1"].astype(dtype), c8)
+    return m3t, m2t, m1t
+
+
+def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
+                      m1x_ref, m2x_ref, m3x_ref, b1x_ref, b2x_ref, b3x_ref,
+                      m1z_ref, m2z_ref, m3z_ref, b1z_ref, b2z_ref, b3z_ref,
+                      m3tx_ref, m2tx_ref, m1tx_ref,
+                      m3tz_ref, m2tz_ref, m1tz_ref,
+                      z_out_ref, g_out_ref, diag_ref, accx_ref, accz_ref,
+                      *, H, W, c8, mid, threshold, eps_i, stall_patience,
+                      stall_rtol, preact_x, preact_z, warm_start, mode):
+    """One example's ENTIRE implicit-block forward compute: the Broyden solve
+    (both nets' conv evals in-kernel) followed by BOTH nets' Neumann-chain
+    accumulations, with the activation-derivative tensors built from the
+    solve's own pre-activation byproducts — they never touch HBM, and the
+    XLA-side linearization recompute (``conv_chain_data``) disappears.
+
+    Estimator linearization points: net_x at x (exact, from the embedding
+    eval) and net_z at the solver's best iterate z_hat — the XLA path
+    linearizes at the re-attached z = z_hat + g(z_hat), which differs by the
+    solver tolerance; the difference is orders below the estimator's MC
+    noise (and below the bf16 rounding of the chain itself).
+    """
+    f32 = jnp.float32
+    HW = H * W
+    shifted = _make_shifted(H, W)
+    dot = _make_dot(mode)
+    # chain precision: bf16 in production (matches IMNF_BF16_EST default);
+    # full f32 when the solve runs exact (exactness tests)
+    cdtype = f32 if mode == "f32" else jnp.bfloat16
+    dot_bf = _make_dot("f32" if mode == "f32" else "bf16")
+
+    x = x_ref[0]
+    bx = (betas_ref[0], betas_ref[1], betas_ref[2])
+    bz = (betas_ref[3], betas_ref[4], betas_ref[5])
+    eval_x = _make_eval(shifted, dot, m1x_ref[:], m2x_ref[:], m3x_ref[:],
+                        b1x_ref[:], b2x_ref[:], b3x_ref[:], *bx,
+                        preact_x, c8, HW, want_aux=True)
+    eval_z = _make_eval(shifted, dot, m1z_ref[:], m2z_ref[:], m3z_ref[:],
+                        b1z_ref[:], b2z_ref[:], b3z_ref[:], *bz,
+                        preact_z, c8, HW, want_aux=True)
+
+    gx_x, (h1x, h2x) = eval_x(x)
+    x_embed = x + gx_x
+
+    def resid(z):
+        gz, _ = eval_z(z)
+        return x_embed - gz - z
+
+    s = _broyden_in_kernel(resid, x if warm_start else jnp.zeros((c8, HW), f32),
+                           c8=c8, HW=HW, threshold=threshold, eps_i=eps_i,
+                           stall_patience=stall_patience,
+                           stall_rtol=stall_rtol)
+    # One extra eval at the best iterate for the chain linearization —
+    # cheaper than carrying (h1, h2) through the while loop (measured: the
+    # bigger carry costs ~2.5 ms/block at 32x32; the eval ~0.7 ms).
+    _, (h1z, h2z) = eval_z(s.best_z)
+
+    z_out_ref[0] = s.best_z
+    g_out_ref[0] = s.best_gx
+    row = lambda v: jnp.broadcast_to(jnp.asarray(v, f32).reshape(1, 1), (1, 128))
+    diag_ref[0] = jnp.concatenate([
+        row(s.nstep), row(s.best_obj < eps_i), row(s.prot), row(s.best_obj),
+        row(s.best_step), row(0.0), row(0.0), row(0.0)], axis=0)
+
+    # ---- Neumann chains (semantics of fused_chain._chain2_kernel) ----
+    s0x = _dswish(x, bx[0]) if preact_x else jnp.ones((c8, HW), f32)
+    s0z = _dswish(s.best_z, bz[0]) if preact_z else jnp.ones((c8, HW), f32)
+    s1x, s2x = _dswish(h1x, bx[1]), _dswish(h2x, bx[2])
+    s1z, s2z = _dswish(h1z, bz[1]), _dswish(h2z, bz[2])
+    jt_x = _make_apply_jt(shifted, dot_bf, m3tx_ref[:], m2tx_ref[:],
+                          m1tx_ref[:], s0x, s1x, s2x, c8, HW)
+    jt_z = _make_apply_jt(shifted, dot_bf, m3tz_ref[:], m2tz_ref[:],
+                          m1tz_ref[:], s0z, s1z, s2z, c8, HW)
+
+    def body(k, carry):
+        ux, uz, ax, az = carry
+        ux = jt_x(ux).astype(cdtype)
+        uz = jt_z(uz).astype(cdtype)
+        c = sc_ref[k]
+        return ux, uz, ax + c * ux.astype(f32), az + c * uz.astype(f32)
+
+    ex = epsx_ref[0].astype(cdtype)
+    ez = epsz_ref[0].astype(cdtype)
+    _, _, accx, accz = jax.lax.fori_loop(
+        0, n_ref[0], body, (ex, ez, ex.astype(f32), ez.astype(f32)))
+    accx_ref[0] = accx
+    accz_ref[0] = accz
+
+
+def fused_block_forward(x, data_x, data_z, eps_x, eps_z, signed_coeffs,
+                        n_power, *, threshold, eps, stall_patience,
+                        stall_rtol, warm_start=False, mode="tf32",
+                        interpret=False):
+    """Fused solve + both Neumann-chain accumulations for one implicit block.
+
+    ``eps_x``/``eps_z``: (B, c, H, W) Rademacher probes. ``signed_coeffs``:
+    (cap,) roulette coefficients with the (-1)^k sign folded in;
+    ``n_power``: traced int32 chain length. Returns
+    ``(FusedSolveResult, acc_x, acc_z)`` with accs shaped like x (f32) —
+    feed them to the single differentiable VJP exactly as
+    ``ops.logdet.neumann_logdet_pair_fused`` does.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, c, H, W = x.shape
+    HW = H * W
+    c8 = max(8, -(-c // 8) * 8)
+    eps_i = float(eps) * ((c * H * W) ** 0.5)
+
+    cdtype = jnp.float32 if mode == "f32" else jnp.bfloat16
+    mats_x, mats_z = _prep_fwd(data_x, c8), _prep_fwd(data_z, c8)
+    jt_x = _prep_jt(data_x, c8, cdtype)
+    jt_z = _prep_jt(data_z, c8, cdtype)
+    mid = mats_x[1].shape[0]
+    betas = jnp.concatenate([data_x["betas"], data_z["betas"]]).astype(jnp.float32)
+
+    xp = _pad_c(x.astype(jnp.float32), c8)
+    exp_ = _pad_c(eps_x.astype(cdtype), c8)
+    ezp = _pad_c(eps_z.astype(cdtype), c8)
+
+    def _call(betas, signed, n_arr, xp, exp_, ezp, *mats):
+        Bl = xp.shape[0]  # per-shard batch under shard_map
+        ex = lambda i, b, sc, n: (i, 0, 0)
+        const2 = lambda r, s: pl.BlockSpec((r, s), lambda i, b, sc, n: (0, 0))
+        in_specs = [pl.BlockSpec((1, c8, HW), ex),
+                    pl.BlockSpec((1, c8, HW), ex),
+                    pl.BlockSpec((1, c8, HW), ex)]
+        for _ in range(2):
+            in_specs += [const2(mid, 9 * c8), const2(mid, mid),
+                         const2(9 * c8, mid),
+                         const2(mid, 1), const2(mid, 1), const2(c8, 1)]
+        for _ in range(2):
+            in_specs += [const2(mid, 9 * c8), const2(mid, mid),
+                         const2(9 * c8, mid)]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(Bl,),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((1, c8, HW), ex),
+                       pl.BlockSpec((1, c8, HW), ex),
+                       pl.BlockSpec((1, 8, 128), ex),
+                       pl.BlockSpec((1, c8, HW), ex),
+                       pl.BlockSpec((1, c8, HW), ex)],
+        )
+        kernel = functools.partial(
+            _block_fwd_kernel, H=H, W=W, c8=c8, mid=mid,
+            threshold=int(threshold), eps_i=eps_i,
+            stall_patience=stall_patience, stall_rtol=stall_rtol,
+            preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
+            warm_start=bool(warm_start), mode=mode)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((Bl, c8, HW), jnp.float32),
+                       jax.ShapeDtypeStruct((Bl, c8, HW), jnp.float32),
+                       jax.ShapeDtypeStruct((Bl, 8, 128), jnp.float32),
+                       jax.ShapeDtypeStruct((Bl, c8, HW), jnp.float32),
+                       jax.ShapeDtypeStruct((Bl, c8, HW), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+            interpret=interpret,
+        )(betas, signed, n_arr, xp, exp_, ezp, *mats)
+
+    z_p, g_p, diag, accx, accz = _maybe_shard(
+        _call, n_batch_leading=3, n_rep_leading=3, n_out=5)(
+        betas, signed_coeffs.astype(jnp.float32),
+        jnp.asarray(n_power, jnp.int32).reshape(1),
+        xp, exp_, ezp, *mats_x, *mats_z, *jt_x, *jt_z)
+
+    unpad = lambda a: a[:, :c].reshape(B, c, H, W)
+    diag = diag[:, :, 0]
+    res = FusedSolveResult(
+        result=unpad(z_p), gx=unpad(g_p),
+        nstep=diag[:, 0].astype(jnp.int32),
+        diff=diag[:, 3],
+        prot_break=diag[:, 2] > 0.5,
+        converged=diag[:, 1] > 0.5,
+    )
+    return res, unpad(accx), unpad(accz)
 
 
 def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
@@ -407,51 +677,47 @@ def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
     D = c * H * W
     eps_i = float(eps) * (D ** 0.5)
 
-    def prep(data):
-        m1 = conv3_forward_mat(data["w1"].astype(jnp.float32), c8)
-        m2 = conv1x1_forward_mat(data["w2"].astype(jnp.float32))
-        m3 = conv3_forward_mats_cout(data["w3"].astype(jnp.float32), c8)
-        b1 = data["b1"].astype(jnp.float32)[:, None]
-        b2 = data["b2"].astype(jnp.float32)[:, None]
-        b3 = _pad_rows(data["b3"].astype(jnp.float32), c8, 0)[:, None]
-        return m1, m2, m3, b1, b2, b3
-
-    mats_x, mats_z = prep(data_x), prep(data_z)
+    mats_x, mats_z = _prep_fwd(data_x, c8), _prep_fwd(data_z, c8)
     mid = mats_x[1].shape[0]
     betas = jnp.concatenate([data_x["betas"], data_z["betas"]]).astype(jnp.float32)
 
     xp = _pad_c(x.astype(jnp.float32), c8)
 
-    ex = lambda i, b: (i, 0, 0)
-    const2 = lambda r, s: pl.BlockSpec((r, s), lambda i, b: (0, 0))
-    in_specs = [pl.BlockSpec((1, c8, HW), ex)]
-    for _ in range(2):
-        in_specs += [const2(mid, 9 * c8), const2(mid, mid),
-                     const2(9 * c8, mid),
-                     const2(mid, 1), const2(mid, 1), const2(c8, 1)]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=in_specs,
-        out_specs=[pl.BlockSpec((1, c8, HW), ex),
-                   pl.BlockSpec((1, c8, HW), ex),
-                   pl.BlockSpec((1, 8, 128), ex)],
-    )
-    kernel = functools.partial(
-        _solve_kernel, H=H, W=W, c8=c8, mid=mid, threshold=int(threshold),
-        eps_i=eps_i, stall_patience=stall_patience, stall_rtol=stall_rtol,
-        preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
-        warm_start=bool(warm_start), mode=mode)
-    z_p, g_p, diag = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, c8, HW), jnp.float32),
-                   jax.ShapeDtypeStruct((B, c8, HW), jnp.float32),
-                   jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-        interpret=interpret,
-    )(betas, xp, *mats_x, *mats_z)
+    def _call(betas, xp, *mats):
+        Bl = xp.shape[0]  # per-shard batch under shard_map
+        ex = lambda i, b: (i, 0, 0)
+        const2 = lambda r, s: pl.BlockSpec((r, s), lambda i, b: (0, 0))
+        in_specs = [pl.BlockSpec((1, c8, HW), ex)]
+        for _ in range(2):
+            in_specs += [const2(mid, 9 * c8), const2(mid, mid),
+                         const2(9 * c8, mid),
+                         const2(mid, 1), const2(mid, 1), const2(c8, 1)]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bl,),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((1, c8, HW), ex),
+                       pl.BlockSpec((1, c8, HW), ex),
+                       pl.BlockSpec((1, 8, 128), ex)],
+        )
+        kernel = functools.partial(
+            _solve_kernel, H=H, W=W, c8=c8, mid=mid, threshold=int(threshold),
+            eps_i=eps_i, stall_patience=stall_patience, stall_rtol=stall_rtol,
+            preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
+            warm_start=bool(warm_start), mode=mode)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((Bl, c8, HW), jnp.float32),
+                       jax.ShapeDtypeStruct((Bl, c8, HW), jnp.float32),
+                       jax.ShapeDtypeStruct((Bl, 8, 128), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(betas, xp, *mats)
+
+    z_p, g_p, diag = _maybe_shard(_call, n_batch_leading=1, n_rep_leading=1,
+                                  n_out=3)(betas, xp, *mats_x, *mats_z)
 
     unpad = lambda a: a[:, :c].reshape(B, c, H, W)
     diag = diag[:, :, 0]

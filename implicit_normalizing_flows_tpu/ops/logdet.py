@@ -218,14 +218,20 @@ def neumann_logdet_pair_fused(apply_x, params_x, x, vareps_x,
         H=H, W=W, interpret=interpret)
 
     def final(apply_fn, params, y, eps, acc):
-        # the single differentiable VJP (grads to params and y), as in
-        # neumann_logdet_estimator
-        _, vjp_fn = jax.vjp(lambda yy: apply_fn(params, yy), y)
-        acc = acc[:, :c].reshape(y.shape).astype(y.dtype)
-        return _batch_dot(vjp_fn(jax.lax.stop_gradient(acc))[0], eps)
+        acc = acc[:, :c].reshape(y.shape)
+        return neumann_final(apply_fn, params, y, eps, acc)
 
     return (final(apply_x, params_x, x, vareps_x, acc_x),
             final(apply_z, params_z, z, vareps_z, acc_z))
+
+
+def neumann_final(apply_fn, params, y, eps, acc):
+    """The single differentiable VJP closing a Neumann-chain accumulation
+    (grads to params and y), as in ``neumann_logdet_estimator``: returns
+    ``<J^T acc, eps>`` with ``acc`` stop-gradient."""
+    _, vjp_fn = jax.vjp(lambda yy: apply_fn(params, yy), y)
+    acc = acc.astype(y.dtype)
+    return _batch_dot(vjp_fn(jax.lax.stop_gradient(acc))[0], eps)
 
 
 def basic_logdet_estimator(apply_fn, params, x, vareps, coeffs, batch_ndim=1):

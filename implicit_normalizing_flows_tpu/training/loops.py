@@ -19,6 +19,24 @@ def _donate_args(nums):
     params/opt-state in place."""
     return nums if os.environ.get("IMNF_DONATE") == "1" else ()
 
+def _under_mesh(jitted, mesh):
+    """Invoke the jitted step under the ambient mesh (jax.sharding.set_mesh)
+    so mesh-aware fast paths — the shard_map-partitioned Pallas kernels
+    (ops.fused_solve._maybe_shard) and the Hutchinson probe-axis constraint
+    (parallel.mesh.constrain_probe_axis) — see the mesh at trace time. A
+    GSPMD-opaque custom call would otherwise force its operands replicated."""
+    import functools
+
+    from jax.sharding import set_mesh
+
+    @functools.wraps(jitted)
+    def run(*args, **kwargs):
+        with set_mesh(mesh):
+            return jitted(*args, **kwargs)
+
+    return run
+
+
 from ..layers.protocol import make_vars
 from .ema import ema_apply
 
@@ -111,12 +129,12 @@ def make_density_train_step(model, optimizer, *, n_lipschitz_iters=None,
 
         rep = replicated(mesh)
         xs = in_shardings if in_shardings is not None else batch_sharding(mesh, 2)
-        return jax.jit(
+        return _under_mesh(jax.jit(
             step,
             in_shardings=(rep, rep, rep, rep, xs, rep, rep),
             out_shardings=(rep, rep, rep, rep, rep),
             donate_argnums=_donate_args((0, 1, 2, 3)),
-        )
+        ), mesh)
     # params/state/opt_state/EMA are consumed and rebound every step — donate
     # their buffers so XLA updates in place instead of copying.
     return jax.jit(step, donate_argnums=_donate_args((0, 1, 2, 3)))
@@ -140,7 +158,7 @@ def make_density_eval_step(model, *, mesh=None, in_shardings=None):
 
         rep = replicated(mesh)
         xs = in_shardings if in_shardings is not None else batch_sharding(mesh, 2)
-        return jax.jit(step, in_shardings=(rep, rep, xs, rep))
+        return _under_mesh(jax.jit(step, in_shardings=(rep, rep, xs, rep)), mesh)
     return jax.jit(step)
 
 
@@ -313,9 +331,11 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
         # placement (None), so the same step serves replicated (pure DP,
         # place_replicated) and tensor-parallel (place_tp) parameters.
         if optimizer is None:
-            return jax.jit(step, in_shardings=(None, None, xs, ys, rep))
-        return jax.jit(step, in_shardings=(None, None, None, None, xs, ys, rep, rep),
-                       donate_argnums=_donate_args((0, 1, 2, 3)))
+            return _under_mesh(
+                jax.jit(step, in_shardings=(None, None, xs, ys, rep)), mesh)
+        return _under_mesh(
+            jax.jit(step, in_shardings=(None, None, None, None, xs, ys, rep, rep),
+                    donate_argnums=_donate_args((0, 1, 2, 3))), mesh)
     if optimizer is None:
         return jax.jit(step)
     return jax.jit(step, donate_argnums=_donate_args((0, 1, 2, 3)))

@@ -146,6 +146,70 @@ def test_fused_inverse_matches_xla_and_roundtrips(monkeypatch):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_merged_block_forward_matches_xla(monkeypatch):
+    """The merged solve+estimator kernel (IMNF_FUSED_BLOCK=interpret) vs the
+    all-XLA path, f32 everywhere. The only semantic difference is the
+    estimator's net_z linearization point (z_hat vs the re-attached z, apart
+    by the solver tolerance), so value and gradients must agree tightly."""
+    monkeypatch.setenv("IMNF_SOLVER_PRECISION", "float32")
+    monkeypatch.setenv("IMNF_BF16_EST", "0")
+    monkeypatch.setenv("IMNF_BWD_PRECISION", "f32")
+    monkeypatch.setenv("IMNF_FUSED_CHAIN", "0")
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "0")
+    monkeypatch.setenv("IMNF_FUSED_BWD", "0")
+    block = _make_block()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+    rng = jax.random.PRNGKey(2)
+
+    def run():
+        def loss(params, xx):
+            v = {"params": params, "state": variables["state"]}
+            z, dlogp, _ = block.forward(v, xx, jnp.zeros((2,)), rng=rng,
+                                        train=True)
+            return jnp.sum(z ** 2) + jnp.sum(dlogp)
+        return jax.value_and_grad(loss, argnums=(0, 1))(
+            variables["params"], x)
+
+    monkeypatch.setenv("IMNF_FUSED_BLOCK", "0")
+    val_xla, g_xla = run()
+    monkeypatch.setenv("IMNF_FUSED_BLOCK", "interpret")
+    val_fused, g_fused = run()
+
+    np.testing.assert_allclose(float(val_fused), float(val_xla),
+                               rtol=1e-3, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=3e-4)
+
+
+def test_fused_solve_sharded_matches_single(monkeypatch):
+    """The Pallas solve under a 4-way data mesh (shard_map partitioning via
+    _maybe_shard) must equal the unsharded run. Uses interpret mode on the
+    CPU mesh; the wrapper logic (specs, per-shard grid) is identical on TPU."""
+    from jax.sharding import NamedSharding, PartitionSpec as P, set_mesh
+
+    from implicit_normalizing_flows_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("IMNF_SOLVER_PRECISION", "float32")
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "interpret")
+    block = _make_block()
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+
+    z_single, _, _ = block.forward(variables, x)
+
+    mesh = make_mesh(n_data=4)
+    xb = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+    vr = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), variables)
+    fwd = jax.jit(lambda v, xx: block.forward(v, xx)[0])
+    with set_mesh(mesh):
+        z_sharded = fwd(vr, xb)
+    np.testing.assert_allclose(np.asarray(z_sharded), np.asarray(z_single),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_fused_solve_tf32_mode_close(monkeypatch):
     """tf32 (3-pass bf16 split) kernel mode stays within solver tolerance of
     the f32 root."""
