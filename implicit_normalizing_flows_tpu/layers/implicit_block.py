@@ -310,6 +310,49 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
                     n=ures.nstep, b=jnp.max(ures.diff), e=ures.eps[0])
             u = unflat(ures.result)
 
+        # Timing-attribution ablation (WRONG gradients — perf experiments
+        # only): skip the re-attachment VJP entirely.
+        if os.environ.get("IMNF_ABLATE") == "reattach":
+            return (jax.tree.map(jnp.zeros_like, vars_x),
+                    jax.tree.map(jnp.zeros_like, vars_z), u)
+
+        # Fused-kernel re-attachment VJP (ops.fused_solve.fused_reattach_vjp):
+        # both nets' forward intermediates, data-grad and weight-grad passes
+        # in one launch with everything VMEM-resident; only the tiny
+        # soft-normalization pullback (effective weight <- raw weight) stays
+        # on the XLA path, via jax.vjp of conv_forward_data.
+        # IMNF_FUSED_REATTACH=0 disables, =interpret for CPU tests.
+        fused_re = os.environ.get("IMNF_FUSED_REATTACH", "1")
+        if fused_re != "0" and x.ndim == 4:
+            interp = fused_re == "interpret"
+            dev_ok = interp or (
+                jax.devices()[0].platform == "tpu"
+                and x.shape[2] * x.shape[3] >= int(
+                    os.environ.get("IMNF_FUSED_SOLVE_MIN_HW", "256")))
+            get_x = getattr(nnet_x, "conv_forward_data", None)
+            get_z = getattr(nnet_z, "conv_forward_data", None)
+            if dev_ok and get_x and get_z:
+                probe_x = get_x(_sg(vars_x))
+                probe_z = get_z(_sg(vars_z))
+                if probe_x is not None and probe_z is not None:
+                    from ..ops.fused_solve import fused_reattach_vjp
+
+                    strip = lambda d: {k: v for k, v in d.items()
+                                       if k != "preact"}
+
+                    def fwd_data(vx_, vz_):
+                        return strip(get_x(vx_)), strip(get_z(vz_))
+
+                    (ax_, az_), vjp_data = jax.vjp(fwd_data, vars_x, vars_z)
+                    data_x = dict(ax_, preact=probe_x["preact"])
+                    data_z = dict(az_, preact=probe_z["preact"])
+                    mode = os.environ.get("IMNF_REATTACH_PRECISION", "bf16")
+                    d_x, d_ax, d_az = fused_reattach_vjp(
+                        jax.lax.stop_gradient(x), z_hat, u, data_x, data_z,
+                        mode=mode, interpret=interp)
+                    d_vx, d_vz = vjp_data((d_ax, d_az))
+                    return d_vx, d_vz, d_x
+
         # One VJP through the re-attachment delivers d_params_x, d_params_z,
         # and dL/dx = u (I + J_gx) (implicit_block.py:210-213,227).
         def reattach(vx, vz, xx):

@@ -472,6 +472,266 @@ def _prep_jt(data, c8, dtype):
     return m3t, m2t, m1t
 
 
+def _dswish_dbeta(t, b):
+    s = jax.nn.sigmoid(t * b)
+    return t * t * s * (1.0 - s) * jnp.float32(1.0 / 1.1)
+
+
+def _dot_nt(dot, a, b):
+    """(M, HW) x (N, HW) -> (M, N): contraction over the lane axis, at the
+    same precision model as ``dot``."""
+    return dot(a, jnp.transpose(b))
+
+
+def _net_vjp_in_kernel(shifted, dot, mats, tmats, beta0, beta1, beta2,
+                       preact, c8, HW, h, cot, want_dh):
+    """First-order VJP of one residual conv net at input ``h`` with cotangent
+    ``cot``, entirely from VMEM-resident operands: forward intermediates
+    recomputed in-kernel, then data-grad (transpose mats) and weight-grad
+    (activation outer products) passes. Returns
+    ``(d_h or None, (dW1, dW2, dW3s, db1, db2, db3, dbetas))`` where the dW
+    are grads w.r.t. the EFFECTIVE (soft-normalized) kernels in the fused
+    im2col layouts (map back with ``conv3_forward_mat_grad`` etc.), and
+    dbetas are grads w.r.t. the softplus-resolved swish slopes."""
+    f32 = jnp.float32
+    m1, m2, m3, b1, b2, b3 = mats
+    m3t, m2t, m1t = tmats
+
+    a0 = _swish(h, beta0) if preact else h
+    a0sh = jnp.concatenate(
+        [shifted(a0, -dy, -dx) for (dy, dx) in _OFFSETS], axis=0)
+    h1 = dot(m1, a0sh) + b1
+    a1 = _swish(h1, beta1)
+    h2 = dot(m2, a1) + b2
+    a2 = _swish(h2, beta2)
+
+    csh = jnp.concatenate(
+        [shifted(cot, dy, dx) for (dy, dx) in _OFFSETS], axis=0)
+    dW3s = _dot_nt(dot, csh, a2)                      # (9c8, mid)
+    db3 = jnp.sum(cot, axis=1, keepdims=True)         # (c8, 1)
+    t2 = dot(m3t, csh)                                # (mid, HW)
+    dbeta2 = jnp.sum(t2 * _dswish_dbeta(h2, beta2))
+    t2h = t2 * _dswish(h2, beta2)
+    db2 = jnp.sum(t2h, axis=1, keepdims=True)
+    dW2 = _dot_nt(dot, t2h, a1)                       # (mid, mid)
+    t1 = dot(m2t, t2h)
+    dbeta1 = jnp.sum(t1 * _dswish_dbeta(h1, beta1))
+    t1h = t1 * _dswish(h1, beta1)
+    db1 = jnp.sum(t1h, axis=1, keepdims=True)
+    dW1 = _dot_nt(dot, t1h, a0sh)                     # (mid, 9c8)
+
+    d_h = None
+    dbeta0 = jnp.zeros((), f32)
+    if want_dh or preact:
+        R = dot(m1t, t1h)                             # (9c8, HW)
+        t0 = jnp.zeros((c8, HW), f32)
+        for d, (dy, dx) in enumerate(_OFFSETS):
+            t0 += shifted(R[d * c8:(d + 1) * c8], dy, dx)
+        if preact:
+            dbeta0 = jnp.sum(t0 * _dswish_dbeta(h, beta0))
+            d_h = t0 * _dswish(h, beta0)
+        else:
+            d_h = t0
+    dbetas = jnp.stack([dbeta0, dbeta1, dbeta2])
+    return d_h, (dW1, dW2, dW3s, db1, db2, db3, dbetas)
+
+
+def _reattach_vjp_kernel(betas_ref, x_ref, zh_ref, u_ref,
+                         m1x_ref, m2x_ref, m3x_ref, b1x_ref, b2x_ref, b3x_ref,
+                         m1z_ref, m2z_ref, m3z_ref, b1z_ref, b2z_ref, b3z_ref,
+                         m3tx_ref, m2tx_ref, m1tx_ref,
+                         m3tz_ref, m2tz_ref, m1tz_ref,
+                         dx_ref,
+                         dW1x_ref, dW2x_ref, dW3x_ref, db1x_ref, db2x_ref,
+                         db3x_ref, dbx_ref,
+                         dW1z_ref, dW2z_ref, dW3z_ref, db1z_ref, db2z_ref,
+                         db3z_ref, dbz_ref,
+                         *, H, W, c8, mid, preact_x, preact_z, mode):
+    """VJP of the re-attachment ``(vx, vz, xx) -> xx + g_x(xx) - g_z(z_hat)``
+    with cotangent u (``_make_bwd_core``'s closing step; reference
+    implicit_block.py:210-213,227) for one example per grid step, with the
+    per-parameter grads accumulated across the batch in VMEM-resident output
+    tiles. d_x = u + J_gx^T u; net_z sees cotangent -u; z_hat is a constant
+    (no d_z)."""
+    f32 = jnp.float32
+    HW = H * W
+    shifted = _make_shifted(H, W)
+    dot = _make_dot(mode)
+    from jax.experimental import pallas as pl
+
+    x = x_ref[0]
+    zh = zh_ref[0]
+    u = u_ref[0]
+
+    mats_x = (m1x_ref[:], m2x_ref[:], m3x_ref[:],
+              b1x_ref[:], b2x_ref[:], b3x_ref[:])
+    mats_z = (m1z_ref[:], m2z_ref[:], m3z_ref[:],
+              b1z_ref[:], b2z_ref[:], b3z_ref[:])
+    tmats_x = (m3tx_ref[:], m2tx_ref[:], m1tx_ref[:])
+    tmats_z = (m3tz_ref[:], m2tz_ref[:], m1tz_ref[:])
+
+    d_hx, gx = _net_vjp_in_kernel(
+        shifted, dot, mats_x, tmats_x, betas_ref[0], betas_ref[1],
+        betas_ref[2], preact_x, c8, HW, x, u, want_dh=True)
+    _, gz = _net_vjp_in_kernel(
+        shifted, dot, mats_z, tmats_z, betas_ref[3], betas_ref[4],
+        betas_ref[5], preact_z, c8, HW, zh, -u, want_dh=False)
+
+    dx_ref[0] = u + d_hx
+
+    beta_tile = lambda db: jnp.concatenate(
+        [jnp.broadcast_to(db[k].reshape(1, 1), (1, 128)) for k in range(3)]
+        + [jnp.zeros((5, 128), f32)], axis=0)
+
+    outs_x = (dW1x_ref, dW2x_ref, dW3x_ref, db1x_ref, db2x_ref, db3x_ref,
+              dbx_ref)
+    outs_z = (dW1z_ref, dW2z_ref, dW3z_ref, db1z_ref, db2z_ref, db3z_ref,
+              dbz_ref)
+    first = pl.program_id(0) == 0
+
+    for outs, grads in ((outs_x, gx), (outs_z, gz)):
+        vals = list(grads[:-1]) + [beta_tile(grads[-1])]
+        for ref, val in zip(outs, vals):
+            @pl.when(first)
+            def _(ref=ref, val=val):
+                ref[:] = val.astype(f32)
+
+            @pl.when(jnp.logical_not(first))
+            def _(ref=ref, val=val):
+                ref[:] = ref[:] + val.astype(f32)
+
+
+def conv3_forward_mat_grad(dm, O, I):
+    """Adjoint of :func:`conv3_forward_mat`: (O=mid, 9*c8) grad -> (O, I, 3, 3)."""
+    c8 = dm.shape[1] // 9
+    g = dm.reshape(O, 9, c8)[:, :, :I]               # (O, 9, I)
+    return jnp.transpose(g, (1, 0, 2)).reshape(3, 3, O, I).transpose(2, 3, 0, 1)
+
+
+def conv3_forward_mats_cout_grad(dm, O, I):
+    """Adjoint of :func:`conv3_forward_mats_cout`: (9*c8, I=mid) -> (O, I, 3, 3)."""
+    c8 = dm.shape[0] // 9
+    g = dm.reshape(9, c8, dm.shape[1])[:, :O]        # (9, O, I)
+    return g.reshape(3, 3, O, dm.shape[1]).transpose(2, 3, 0, 1)
+
+
+def fused_reattach_vjp(x, z_hat, u, data_x, data_z, *, mode="bf16",
+                       interpret=False):
+    """Pallas re-attachment VJP: returns ``(d_x, d_data_x, d_data_z)`` where
+    the d_data dicts carry grads w.r.t. the EFFECTIVE conv kernels, biases
+    and softplus-resolved swish slopes of ``conv_forward_data`` — pull them
+    back to raw parameters with ``jax.vjp`` of ``conv_forward_data`` (the
+    soft-normalization chain is tiny and stays XLA-side)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, c, H, W = x.shape
+    HW = H * W
+    c8 = max(8, -(-c // 8) * 8)
+    data_x = {k: (jax.lax.stop_gradient(v) if hasattr(v, "dtype") else v)
+              for k, v in data_x.items()}
+    data_z = {k: (jax.lax.stop_gradient(v) if hasattr(v, "dtype") else v)
+              for k, v in data_z.items()}
+    mats_x, mats_z = _prep_fwd(data_x, c8), _prep_fwd(data_z, c8)
+    tm_x = _prep_jt(data_x, c8, jnp.float32)
+    tm_z = _prep_jt(data_z, c8, jnp.float32)
+    mid = mats_x[1].shape[0]
+    betas = jnp.concatenate([data_x["betas"], data_z["betas"]]).astype(jnp.float32)
+
+    xp = _pad_c(x.astype(jnp.float32), c8)
+    zhp = _pad_c(z_hat.astype(jnp.float32), c8)
+    up = _pad_c(u.astype(jnp.float32), c8)
+
+    grad_shapes = [
+        jax.ShapeDtypeStruct((mid, 9 * c8), jnp.float32),
+        jax.ShapeDtypeStruct((mid, mid), jnp.float32),
+        jax.ShapeDtypeStruct((9 * c8, mid), jnp.float32),
+        jax.ShapeDtypeStruct((mid, 1), jnp.float32),
+        jax.ShapeDtypeStruct((mid, 1), jnp.float32),
+        jax.ShapeDtypeStruct((c8, 1), jnp.float32),
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    ]
+
+    def _call(betas, xp, zhp, up, *mats):
+        Bl = xp.shape[0]
+        ex = lambda i, b: (i, 0, 0)
+        const2 = lambda r, s: pl.BlockSpec((r, s), lambda i, b: (0, 0))
+        in_specs = [pl.BlockSpec((1, c8, HW), ex)] * 3
+        for _ in range(2):
+            in_specs += [const2(mid, 9 * c8), const2(mid, mid),
+                         const2(9 * c8, mid),
+                         const2(mid, 1), const2(mid, 1), const2(c8, 1)]
+        for _ in range(2):
+            in_specs += [const2(mid, 9 * c8), const2(mid, mid),
+                         const2(9 * c8, mid)]
+        gspecs = [const2(mid, 9 * c8), const2(mid, mid), const2(9 * c8, mid),
+                  const2(mid, 1), const2(mid, 1), const2(c8, 1),
+                  const2(8, 128)]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bl,),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((1, c8, HW), ex)] + gspecs + gspecs,
+        )
+        kernel = functools.partial(
+            _reattach_vjp_kernel, H=H, W=W, c8=c8, mid=mid,
+            preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
+            mode=mode)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((Bl, c8, HW), jnp.float32)]
+                      + grad_shapes + grad_shapes,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(betas, xp, zhp, up, *mats)
+
+    def _sharded_call(*args):
+        # under shard_map the weight-grad outputs are per-shard partial sums
+        # over the local batch: psum them over 'data'
+        outs = _call(*args)
+        dx, rest = outs[0], outs[1:]
+        rest = [jax.lax.psum(r, "data") for r in rest]
+        return (dx, *rest)
+
+    from jax.sharding import PartitionSpec as P
+    from jax.sharding import get_abstract_mesh
+
+    m = get_abstract_mesh()
+    names = getattr(m, "axis_names", ())
+    if "data" in names and dict(m.shape).get("data", 1) > 1:
+        in_specs = tuple([P()] + [P("data", None, None)] * 3
+                         + [P()] * 18)
+        out_specs = tuple([P("data", None, None)] + [P()] * 14)
+        outs = jax.shard_map(_sharded_call, mesh=m, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)(
+            betas, xp, zhp, up, *mats_x, *mats_z, *tm_x, *tm_z)
+    else:
+        outs = _call(betas, xp, zhp, up, *mats_x, *mats_z, *tm_x, *tm_z)
+
+    d_x = outs[0][:, :c].reshape(B, c, H, W)
+
+    def unpack(gs, data):
+        dW1, dW2, dW3s, db1, db2, db3, dbt = gs
+        O1, I1 = data["w1"].shape[:2]
+        O3, I3 = data["w3"].shape[:2]
+        d = {
+            "w1": conv3_forward_mat_grad(dW1, O1, I1),
+            "w2": dW2[:, :, None, None],
+            "w3": conv3_forward_mats_cout_grad(dW3s, O3, I3),
+            "b1": db1[:, 0],
+            "b2": db2[:, 0],
+            "b3": db3[:O3, 0],
+            "betas": dbt[:3, 0],
+        }
+        return d
+
+    d_data_x = unpack(outs[1:8], data_x)
+    d_data_z = unpack(outs[8:15], data_z)
+    return d_x, d_data_x, d_data_z
+
+
 def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
                       m1x_ref, m2x_ref, m3x_ref, b1x_ref, b2x_ref, b3x_ref,
                       m1z_ref, m2z_ref, m3z_ref, b1z_ref, b2z_ref, b3z_ref,

@@ -174,6 +174,12 @@ def neumann_logdet_estimator(apply_fn, params, x, vareps, coeffs, n_power,
     _, _, neumann_v = jax.lax.while_loop(
         cond, body, (jnp.ones((), jnp.int32), vareps_sg, vareps_sg)
     )
+    if _final_form() == "jvp":
+        # <J^T v, eps> == <v, J eps>: the JVP form builds a forward-over-
+        # reverse gradient plan instead of reverse-over-reverse — same value
+        # and gradients, different XLA program (perf knob IMNF_FINAL_FORM).
+        _, jac_eps = jax.jvp(lambda xx: apply_fn(params, xx), (x,), (vareps_sg,))
+        return _batch_dot(jax.lax.stop_gradient(neumann_v), jac_eps, batch_ndim)
     vjp_jac = vjp_fn(jax.lax.stop_gradient(neumann_v))[0]
     return _batch_dot(vjp_jac, vareps, batch_ndim)
 
@@ -225,12 +231,27 @@ def neumann_logdet_pair_fused(apply_x, params_x, x, vareps_x,
             final(apply_z, params_z, z, vareps_z, acc_z))
 
 
+def _final_form():
+    import os
+    return os.environ.get("IMNF_FINAL_FORM", "vjp")
+
+
 def neumann_final(apply_fn, params, y, eps, acc):
-    """The single differentiable VJP closing a Neumann-chain accumulation
+    """The single differentiable term closing a Neumann-chain accumulation
     (grads to params and y), as in ``neumann_logdet_estimator``: returns
-    ``<J^T acc, eps>`` with ``acc`` stop-gradient."""
-    _, vjp_fn = jax.vjp(lambda yy: apply_fn(params, yy), y)
+    ``<J^T acc, eps>`` with ``acc`` stop-gradient. IMNF_FINAL_FORM=jvp
+    computes the equal-value ``<acc, J eps>`` instead (different AD plan)."""
+    import os
     acc = acc.astype(y.dtype)
+    if os.environ.get("IMNF_ABLATE") == "final":
+        # Timing-attribution ablation (WRONG estimator/gradients — perf
+        # experiments only): skip the differentiable VJP.
+        return _batch_dot(acc, eps)
+    if _final_form() == "jvp":
+        _, jac_eps = jax.jvp(lambda yy: apply_fn(params, yy), (y,),
+                             (jax.lax.stop_gradient(eps),))
+        return _batch_dot(jax.lax.stop_gradient(acc), jac_eps)
+    _, vjp_fn = jax.vjp(lambda yy: apply_fn(params, yy), y)
     return _batch_dot(vjp_fn(jax.lax.stop_gradient(acc))[0], eps)
 
 

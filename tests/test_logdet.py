@@ -162,3 +162,40 @@ def test_sample_n_dist_poisson_runs():
     )
     assert np.isfinite(np.asarray(coeffs)).all()
     np.testing.assert_allclose(np.asarray(coeffs[:2]), 1.0)
+
+
+def test_final_form_jvp_matches_vjp(monkeypatch):
+    """<J^T acc, eps> (vjp form) == <acc, J eps> (jvp form): value AND
+    gradients, through the whole neumann estimator."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from implicit_normalizing_flows_tpu.ops import logdet as ld
+
+    def apply_fn(params, x):
+        h = jnp.tanh(x @ params["w1"]) * 0.5
+        return h @ params["w2"]
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, kx, ke = jax.random.split(key, 4)
+    params = {"w1": jax.random.normal(k1, (6, 6)) * 0.3,
+              "w2": jax.random.normal(k2, (6, 6)) * 0.3}
+    x = jax.random.normal(kx, (3, 6))
+    eps = jax.random.normal(ke, (3, 6))
+    coeffs = jnp.ones((8,))
+
+    def run():
+        def loss(p, xx):
+            est = ld.neumann_logdet_estimator(
+                apply_fn, p, xx, eps, coeffs, jnp.asarray(5))
+            return jnp.sum(est)
+        return jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+
+    monkeypatch.setenv("IMNF_FINAL_FORM", "vjp")
+    v1, g1 = run()
+    monkeypatch.setenv("IMNF_FINAL_FORM", "jvp")
+    v2, g2 = run()
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
