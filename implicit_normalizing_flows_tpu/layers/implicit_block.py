@@ -825,10 +825,32 @@ class ImplicitBlock(Flow):
                 cd_x = get_cd_x(vx_c, x_c)
                 cd_z = get_cd_z(vz_c, z_c)
                 if cd_x is not None and cd_z is not None:
-                    ld_x, ld_z = ld.neumann_logdet_pair_fused(
-                        apply_x, vx_c, x_c, ex, apply_z, vz_c, z_c, ez,
-                        cd_x, cd_z, coeffs, n_power, interpret=interp)
-                    logdet = (ld_x - ld_z).astype(jnp.float32)
+                    # Fused differentiable final term (second-order Pallas
+                    # backward, ops.fused_solve.fused_final_pair);
+                    # IMNF_FUSED_FINAL=0 falls back to the XLA jax.vjp final.
+                    ff = os.environ.get("IMNF_FUSED_FINAL", "1")
+                    fd_x = fd_z = None
+                    if ff != "0":
+                        gfx = getattr(self.nnet_x, "conv_forward_data", None)
+                        gfz = getattr(self.nnet_z, "conv_forward_data", None)
+                        if gfx and gfz:
+                            fd_x, fd_z = gfx(vx), gfz(vz)
+                    if fd_x is not None and fd_z is not None:
+                        from ..ops.fused_solve import fused_final_pair
+                        acc_x, acc_z = ld.neumann_pair_accs(
+                            x_c, ex, z_c, ez, cd_x, cd_z, coeffs, n_power,
+                            interpret=interp)
+                        T_x, T_z = fused_final_pair(
+                            fd_x, fd_z, x, z, vareps_x[0], vareps_z[0],
+                            acc_x, acc_z,
+                            mode="bf16" if bf16_est else "f32",
+                            interpret=interp or ff == "interpret")
+                        logdet = (T_x - T_z).astype(jnp.float32)
+                    else:
+                        ld_x, ld_z = ld.neumann_logdet_pair_fused(
+                            apply_x, vx_c, x_c, ex, apply_z, vz_c, z_c, ez,
+                            cd_x, cd_z, coeffs, n_power, interpret=interp)
+                        logdet = (ld_x - ld_z).astype(jnp.float32)
 
         if logdet is None:
             logdet = estimate(apply_x, vx, x, vareps_x) - estimate(apply_z, vz, z, vareps_z)

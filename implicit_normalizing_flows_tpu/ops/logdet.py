@@ -204,6 +204,25 @@ def neumann_logdet_pair_fused(apply_x, params_x, x, vareps_x,
         fused_neumann_chain2,
     )
 
+    acc_x, acc_z = neumann_pair_accs(x, vareps_x, z, vareps_z, chain_x,
+                                     chain_z, coeffs, n_power,
+                                     interpret=interpret)
+    return (neumann_final(apply_x, params_x, x, vareps_x, acc_x),
+            neumann_final(apply_z, params_z, z, vareps_z, acc_z))
+
+
+def neumann_pair_accs(x, vareps_x, z, vareps_z, chain_x, chain_z, coeffs,
+                      n_power, interpret=False):
+    """Both nets' stop-gradient Neumann accumulations via the fused chain
+    kernel (``ops.fused_chain``), returned in the inputs' (B, c, H, W)
+    shape (f32). Feed to :func:`neumann_final` / the fused final kernel."""
+    from .fused_chain import (
+        conv1x1_transpose_mat,
+        conv3_transpose_mats,
+        conv3_transpose_mats_cout,
+        fused_neumann_chain2,
+    )
+
     B, c, H, W = x.shape
     c8 = max(8, -(-c // 8) * 8)
     cap = coeffs.shape[0]
@@ -222,13 +241,8 @@ def neumann_logdet_pair_fused(apply_x, params_x, x, vareps_x,
     acc_x, acc_z = fused_neumann_chain2(
         prep(vareps_x, chain_x), prep(vareps_z, chain_z), signed, n_power,
         H=H, W=W, interpret=interpret)
-
-    def final(apply_fn, params, y, eps, acc):
-        acc = acc[:, :c].reshape(y.shape)
-        return neumann_final(apply_fn, params, y, eps, acc)
-
-    return (final(apply_x, params_x, x, vareps_x, acc_x),
-            final(apply_z, params_z, z, vareps_z, acc_z))
+    unpad = lambda a: a[:, :c].reshape(B, c, H, W)
+    return unpad(acc_x), unpad(acc_z)
 
 
 def _final_form():

@@ -168,6 +168,47 @@ def test_fused_reattach_vjp_matches_xla(monkeypatch, preact):
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.parametrize("preact", [True, False])
+def test_fused_final_matches_xla(monkeypatch, preact):
+    """The fused estimator-final pair (Pallas primal + hand-derived
+    second-order Pallas backward) vs the XLA jax.vjp final — estimator value
+    and ALL gradients (params incl. normalization/bias/beta chains, and the
+    x/z inputs)."""
+    monkeypatch.setenv("IMNF_SOLVER_PRECISION", "float32")
+    monkeypatch.setenv("IMNF_BF16_EST", "0")
+    monkeypatch.setenv("IMNF_BWD_PRECISION", "f32")
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "0")
+    monkeypatch.setenv("IMNF_FUSED_BWD", "0")
+    monkeypatch.setenv("IMNF_FUSED_REATTACH", "0")
+    monkeypatch.setenv("IMNF_FUSED_CHAIN", "interpret")
+    block = _make_block(preact=preact, first_resblock=not preact)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+    rng = jax.random.PRNGKey(2)
+
+    def run():
+        def loss(params, xx):
+            v = {"params": params, "state": variables["state"]}
+            z, dlogp, _ = block.forward(v, xx, jnp.zeros((2,)), rng=rng,
+                                        train=True)
+            return jnp.sum(dlogp)
+        return jax.value_and_grad(loss, argnums=(0, 1))(
+            variables["params"], x)
+
+    monkeypatch.setenv("IMNF_FUSED_FINAL", "0")
+    val_xla, g_xla = run()
+    monkeypatch.setenv("IMNF_FUSED_FINAL", "interpret")
+    val_fused, g_fused = run()
+
+    np.testing.assert_allclose(float(val_fused), float(val_xla), rtol=1e-5)
+    flat_x, _ = jax.tree_util.tree_flatten_with_path(g_xla)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_fused)
+    for (path, b), (_, a) in zip(flat_x, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_fused_inverse_matches_xla_and_roundtrips(monkeypatch):
     monkeypatch.setenv("IMNF_SOLVER_PRECISION", "float32")
     block = _make_block()
