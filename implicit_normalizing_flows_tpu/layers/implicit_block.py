@@ -101,19 +101,29 @@ def _fused_solve_mode():
     return "f32" if prec in ("float32", "highest") else "tf32"
 
 
+def _pack_reps_for(x):
+    """Examples lane-packed per kernel program for this input's spatial
+    dims (``ops.fused_chain.choose_reps``): 1 at 32x32, up to 16 at the 8x8
+    scale, so the fused kernels keep full 128-lane MXU tiles everywhere."""
+    from ..ops.fused_chain import choose_reps
+
+    return choose_reps(x.shape[0], x.shape[2], x.shape[3])
+
+
 def _fused_solve_data(nnet_a, nnet_b, va, vb, x):
     """Gate for the fused Pallas Broyden solve (ops.fused_solve): returns
-    (data_a, data_b, interpret) when both nets match the conv-stack pattern
-    and the device/shape gates pass, else None. IMNF_FUSED_SOLVE=0 disables,
-    =interpret forces the interpreter path for CPU tests."""
+    (data_a, data_b, interpret, reps) when both nets match the conv-stack
+    pattern and the device/shape gates pass, else None. IMNF_FUSED_SOLVE=0
+    disables, =interpret forces the interpreter path for CPU tests."""
     mode = os.environ.get("IMNF_FUSED_SOLVE", "1")
     if mode == "0" or x.ndim != 4:
         return None
     interp = mode == "interpret"
+    reps = _pack_reps_for(x)
     if not interp:
         if jax.devices()[0].platform != "tpu":
             return None
-        if x.shape[2] * x.shape[3] < int(
+        if reps * x.shape[2] * x.shape[3] < int(
                 os.environ.get("IMNF_FUSED_SOLVE_MIN_HW", "256")):
             return None
     get_a = getattr(nnet_a, "conv_forward_data", None)
@@ -123,7 +133,7 @@ def _fused_solve_data(nnet_a, nnet_b, va, vb, x):
     da, db = get_a(va), get_b(vb)
     if da is None or db is None:
         return None
-    return da, db, interp
+    return da, db, interp, reps
 
 
 def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
@@ -137,14 +147,14 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
         protective-break rows stays on the XLA path (rare, under lax.cond)."""
         from ..ops.fused_solve import fused_broyden_solve
 
-        data_x, data_z, interp = fd
+        data_x, data_z, interp, reps = fd
         xs = jax.lax.stop_gradient(x)
         res = fused_broyden_solve(
             xs, data_x, data_z,
             threshold=cfg.threshold, eps=cfg.eps_forward,
             stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
-            interpret=interp)
+            interpret=interp, reps=reps)
 
         B = x.shape[0]
         flat = lambda a: a.reshape(B, -1)
@@ -271,9 +281,10 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
         fused_bwd = os.environ.get("IMNF_FUSED_BWD", "1")
         if fused_bwd != "0" and x.ndim == 4 and bwd_mode in ("bf16", "f32"):
             interp = fused_bwd == "interpret"
+            reps = _pack_reps_for(x)
             dev_ok = interp or (
                 jax.devices()[0].platform == "tpu"
-                and x.shape[2] * x.shape[3] >= int(
+                and reps * x.shape[2] * x.shape[3] >= int(
                     os.environ.get("IMNF_FUSED_SOLVE_MIN_HW", "256")))
             get_cd = getattr(nnet_z, "conv_chain_data", None)
             if dev_ok and get_cd:
@@ -287,7 +298,7 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
                         threshold=cfg.threshold_backward, eps=cfg.eps_backward,
                         stall_patience=cfg.stall_patience,
                         stall_rtol=cfg.stall_rtol,
-                        mode=bwd_mode, interpret=interp)
+                        mode=bwd_mode, interpret=interp, reps=reps)
 
         if u is None:
             if bwd_mode == "bf16":
@@ -325,9 +336,10 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
         fused_re = os.environ.get("IMNF_FUSED_REATTACH", "1")
         if fused_re != "0" and x.ndim == 4:
             interp = fused_re == "interpret"
+            reps = _pack_reps_for(x)
             dev_ok = interp or (
                 jax.devices()[0].platform == "tpu"
-                and x.shape[2] * x.shape[3] >= int(
+                and reps * x.shape[2] * x.shape[3] >= int(
                     os.environ.get("IMNF_FUSED_SOLVE_MIN_HW", "256")))
             get_x = getattr(nnet_x, "conv_forward_data", None)
             get_z = getattr(nnet_z, "conv_forward_data", None)
@@ -349,7 +361,7 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
                     mode = os.environ.get("IMNF_REATTACH_PRECISION", "bf16")
                     d_x, d_ax, d_az = fused_reattach_vjp(
                         jax.lax.stop_gradient(x), z_hat, u, data_x, data_z,
-                        mode=mode, interpret=interp)
+                        mode=mode, interpret=interp, reps=reps)
                     d_vx, d_vz = vjp_data((d_ax, d_az))
                     return d_vx, d_vz, d_x
 
@@ -680,14 +692,14 @@ class ImplicitBlock(Flow):
         solved), with the same per-example Banach fallback as the forward."""
         from ..ops.fused_solve import fused_broyden_solve
 
-        data_z, data_x, interp = fd
+        data_z, data_x, interp, reps = fd
         cfg = self.solver_cfg
         res = fused_broyden_solve(
             z, data_z, data_x,
             threshold=cfg.threshold, eps=cfg.eps_sample,
             stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
-            interpret=interp)
+            interpret=interp, reps=reps)
         B = z.shape[0]
         flat = lambda a: a.reshape(B, -1)
         unflat = lambda a: a.reshape(z.shape)
@@ -809,7 +821,8 @@ class ImplicitBlock(Flow):
                 and not (train and cfg.grad_in_forward) and x.ndim == 4):
             interp = fused_mode == "interpret"
             on_tpu = jax.devices()[0].platform == "tpu"
-            big_enough = x.shape[2] * x.shape[3] >= int(
+            reps = _pack_reps_for(x)
+            big_enough = reps * x.shape[2] * x.shape[3] >= int(
                 os.environ.get("IMNF_FUSED_MIN_HW", "256"))
             get_cd_x = getattr(self.nnet_x, "conv_chain_data", None)
             get_cd_z = getattr(self.nnet_z, "conv_chain_data", None)
@@ -839,17 +852,19 @@ class ImplicitBlock(Flow):
                         from ..ops.fused_solve import fused_final_pair
                         acc_x, acc_z = ld.neumann_pair_accs(
                             x_c, ex, z_c, ez, cd_x, cd_z, coeffs, n_power,
-                            interpret=interp)
+                            interpret=interp, reps=reps)
                         T_x, T_z = fused_final_pair(
                             fd_x, fd_z, x, z, vareps_x[0], vareps_z[0],
                             acc_x, acc_z,
                             mode="bf16" if bf16_est else "f32",
-                            interpret=interp or ff == "interpret")
+                            interpret=interp or ff == "interpret",
+                            reps=reps)
                         logdet = (T_x - T_z).astype(jnp.float32)
                     else:
                         ld_x, ld_z = ld.neumann_logdet_pair_fused(
                             apply_x, vx_c, x_c, ex, apply_z, vz_c, z_c, ez,
-                            cd_x, cd_z, coeffs, n_power, interpret=interp)
+                            cd_x, cd_z, coeffs, n_power, interpret=interp,
+                            reps=reps)
                         logdet = (ld_x - ld_z).astype(jnp.float32)
 
         if logdet is None:

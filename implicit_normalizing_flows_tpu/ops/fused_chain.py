@@ -38,7 +38,64 @@ import jax.numpy as jnp
 
 __all__ = ["fused_neumann_chain", "fused_neumann_chain2",
            "conv3_transpose_mats", "conv3_transpose_mats_cout",
-           "conv1x1_transpose_mat"]
+           "conv1x1_transpose_mat", "pack_reps", "unpack_reps", "choose_reps"]
+
+
+def pack_reps(a, reps):
+    """(B, C, HW) -> (B//reps, C, reps*HW): lane-concatenate ``reps``
+    consecutive examples per kernel program. At small spatial dims (8x8 the
+    CIFAR recipe's last scale) a single example's HW=64 lanes leave the MXU
+    nearly idle; packing restores full 128-lane tiles. Group boundaries stay
+    inside a 'data' shard as long as the per-shard batch is a multiple of
+    ``reps`` (``choose_reps`` guarantees it)."""
+    if reps == 1:
+        return a
+    B, C, HW = a.shape
+    return (a.reshape(B // reps, reps, C, HW)
+            .transpose(0, 2, 1, 3)
+            .reshape(B // reps, C, reps * HW))
+
+
+def unpack_reps(a, reps):
+    """Inverse of :func:`pack_reps`."""
+    if reps == 1:
+        return a
+    Bg, C, RHW = a.shape
+    HW = RHW // reps
+    return (a.reshape(Bg, C, reps, HW)
+            .transpose(0, 2, 1, 3)
+            .reshape(Bg * reps, C, HW))
+
+
+def choose_reps(B, H, W):
+    """Examples to lane-pack per program: enough to reach
+    IMNF_FUSED_PACK_LANES lanes, constrained to divide the PER-SHARD batch
+    when a 'data' mesh axis is active (so packed groups never straddle
+    shards).
+
+    Default 256 (two full MXU tiles: reps=4 at the 8x8 scale, 1 at >=16x16)
+    from a CIFAR-recipe sweep on v5e — samples/s by target: 64 (=never
+    pack) 952, 256 -> 959, 512 -> 940, 1024 -> 948, 2048 -> 827. Packing the
+    8x8 blocks beats their XLA fallback slightly; packing 16x16 (where the
+    per-example kernels already run well) only adds while-loop convoy
+    overhead (the packed solve runs to the slowest packed example's
+    iteration count)."""
+    import os
+
+    from jax.sharding import get_abstract_mesh
+
+    m = get_abstract_mesh()
+    ndata = 1
+    if "data" in getattr(m, "axis_names", ()):
+        ndata = dict(m.shape).get("data", 1)
+    if B % ndata:
+        return 1
+    b_local = B // ndata
+    target = int(os.environ.get("IMNF_FUSED_PACK_LANES", "256"))
+    r = max(1, min(b_local, target // (H * W)))
+    while b_local % r:
+        r -= 1
+    return r
 
 
 def _pad_rows(a, rows, axis):
@@ -78,18 +135,26 @@ def conv1x1_transpose_mat(w):
     return jnp.transpose(w[:, :, 0, 0])
 
 
-def _make_shifted(H, W):
+def _make_shifted(H, W, reps=1):
     """shift helper: t(:, p - (dy, dx)) with zeros outside the image, as a
-    lane roll over the flattened HW axis plus a border mask."""
+    lane roll over the flattened HW axis plus a border mask.
+
+    ``reps`` > 1 packs that many examples along the lane axis (period H*W):
+    the border masks are computed on per-example LOCAL coordinates
+    (``lane % HW``), which exactly kills the roll's cross-example
+    contamination — for every |dy|,|dx| <= 1 offset, each lane that would
+    read a neighbouring example's pixels is an image-border lane the mask
+    zeroes anyway (checked case by case for all 9 offsets)."""
     from jax.experimental.pallas import tpu as pltpu
 
     HW = H * W
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, HW), 1)
-    yy = lane // W
+    RHW = reps * HW
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, RHW), 1)
+    yy = (lane // W) % H
     xx = lane % W
 
     def mask_for(dy, dx):
-        m = jnp.ones((1, HW), jnp.bool_)
+        m = jnp.ones((1, RHW), jnp.bool_)
         if dy == 1:
             m = m & (yy >= 1)
         elif dy == -1:
@@ -101,7 +166,7 @@ def _make_shifted(H, W):
         return m
 
     def shifted(t, dy, dx):
-        s = (dy * W + dx) % HW  # pltpu.roll requires a non-negative shift
+        s = (dy * W + dx) % RHW  # pltpu.roll requires a non-negative shift
         # Mosaic only implements 32-bit rotates: roll in f32, cast back.
         r = pltpu.roll(t.astype(jnp.float32), s, 1).astype(t.dtype) if s else t
         return jnp.where(mask_for(dy, dx), r, jnp.zeros_like(r))
@@ -147,14 +212,15 @@ def _make_apply_jt(shifted, s0, s1, s2, m3_ref, m2_ref, m1_ref, u9_ref,
 
 
 def _chain_kernel(n_ref, sc_ref, eps_ref, s0_ref, s1_ref, s2_ref,
-                  m3_ref, m2_ref, m1_ref, out_ref, u9_ref, *, H, W, c8, mid,
-                  cdtype):
-    """One example: run the full signed-coefficient Neumann accumulation."""
+                  m3_ref, m2_ref, m1_ref, out_ref, u9_ref, *, H, W, reps,
+                  c8, mid, cdtype):
+    """One example (or ``reps`` lane-packed examples): run the full
+    signed-coefficient Neumann accumulation."""
     f32 = jnp.float32
-    shifted = _make_shifted(H, W)
+    shifted = _make_shifted(H, W, reps)
     apply_JT = _make_apply_jt(shifted, s0_ref[0], s1_ref[0], s2_ref[0],
                               m3_ref, m2_ref, m1_ref, u9_ref,
-                              c8, mid, H * W, cdtype)
+                              c8, mid, reps * H * W, cdtype)
 
     def body(k, carry):
         u, acc = carry
@@ -174,19 +240,19 @@ def _chain2_kernel(n_ref, sc_ref,
                    m3x_ref, m2x_ref, m1x_ref,
                    m3z_ref, m2z_ref, m1z_ref,
                    outx_ref, outz_ref, u9x_ref, u9z_ref,
-                   *, H, W, c8, mid, cdtype):
+                   *, H, W, reps, c8, mid, cdtype):
     """Both nets' chains interleaved in one loop: the two chains are
     independent, so each iteration exposes twice the instruction-level
     parallelism (MXU work of one chain overlaps VPU rolls/masks of the
     other)."""
     f32 = jnp.float32
-    shifted = _make_shifted(H, W)
+    shifted = _make_shifted(H, W, reps)
     jt_x = _make_apply_jt(shifted, s0x_ref[0], s1x_ref[0], s2x_ref[0],
                           m3x_ref, m2x_ref, m1x_ref, u9x_ref,
-                          c8, mid, H * W, cdtype)
+                          c8, mid, reps * H * W, cdtype)
     jt_z = _make_apply_jt(shifted, s0z_ref[0], s1z_ref[0], s2z_ref[0],
                           m3z_ref, m2z_ref, m1z_ref, u9z_ref,
-                          c8, mid, H * W, cdtype)
+                          c8, mid, reps * H * W, cdtype)
 
     def body(k, carry):
         ux, uz, accx, accz = carry
@@ -203,9 +269,9 @@ def _chain2_kernel(n_ref, sc_ref,
     outz_ref[0] = accz
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "reps", "interpret"))
 def fused_neumann_chain(eps, s0, s1, s2, m3, m2, m1, signed_coeffs, n_power,
-                        *, H, W, interpret=False):
+                        *, H, W, reps=1, interpret=False):
     """acc = eps + sum_{k=1}^{n_power} signed_coeffs[k-1] * (J^T)^k eps.
 
     Args:
@@ -228,7 +294,7 @@ def fused_neumann_chain(eps, s0, s1, s2, m3, m2, m1, signed_coeffs, n_power,
 
     B, c8, HW = eps.shape
     mid = s1.shape[1]
-    assert HW == H * W, (HW, H, W)
+    assert HW == reps * H * W, (HW, H, W, reps)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -245,8 +311,8 @@ def fused_neumann_chain(eps, s0, s1, s2, m3, m2, m1, signed_coeffs, n_power,
         out_specs=pl.BlockSpec((1, c8, HW), lambda i, n, sc: (i, 0, 0)),
         scratch_shapes=[pltpu.VMEM((9 * c8, HW), eps.dtype)],
     )
-    kernel = functools.partial(_chain_kernel, H=H, W=W, c8=c8, mid=mid,
-                               cdtype=eps.dtype)
+    kernel = functools.partial(_chain_kernel, H=H, W=W, reps=reps, c8=c8,
+                               mid=mid, cdtype=eps.dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -261,9 +327,9 @@ def fused_neumann_chain(eps, s0, s1, s2, m3, m2, m1, signed_coeffs, n_power,
       eps, s0, s1, s2, m3, m2, m1)
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "reps", "interpret"))
 def fused_neumann_chain2(chain_x, chain_z, signed_coeffs, n_power,
-                         *, H, W, interpret=False):
+                         *, H, W, reps=1, interpret=False):
     """Run both nets' Neumann accumulations in one kernel (see
     ``_chain2_kernel``). ``chain_x``/``chain_z`` are (eps, s0, s1, s2, m3,
     m2, m1) tuples shaped as in :func:`fused_neumann_chain`; both share the
@@ -276,7 +342,7 @@ def fused_neumann_chain2(chain_x, chain_z, signed_coeffs, n_power,
     epsz, s0z, s1z, s2z, m3z, m2z, m1z = chain_z
     B, c8, HW = epsx.shape
     mid = s1x.shape[1]
-    assert HW == H * W, (HW, H, W)
+    assert HW == reps * H * W, (HW, H, W, reps)
 
     small = lambda: pl.BlockSpec((1, c8, HW), lambda i, n, sc: (i, 0, 0))
     big = lambda: pl.BlockSpec((1, mid, HW), lambda i, n, sc: (i, 0, 0))
@@ -295,8 +361,8 @@ def fused_neumann_chain2(chain_x, chain_z, signed_coeffs, n_power,
         scratch_shapes=[pltpu.VMEM((9 * c8, HW), epsx.dtype),
                         pltpu.VMEM((9 * c8, HW), epsx.dtype)],
     )
-    kernel = functools.partial(_chain2_kernel, H=H, W=W, c8=c8, mid=mid,
-                               cdtype=epsx.dtype)
+    kernel = functools.partial(_chain2_kernel, H=H, W=W, reps=reps, c8=c8,
+                               mid=mid, cdtype=epsx.dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

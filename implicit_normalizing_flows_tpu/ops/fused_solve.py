@@ -155,6 +155,149 @@ def _make_eval(shifted, dot, m1, m2, m3, b1, b2, b3, beta0, beta1, beta2,
     return eval_net
 
 
+def _make_seg(reps, HW):
+    """Per-example reduction helpers for lane-packed kernels (``reps``
+    examples concatenated along the lane axis with period ``HW``):
+    ``seg_sum`` maps an (rows, reps*HW) plane to (1, reps) per-example sums
+    (one small matmul against a segment-indicator matrix + a sublane
+    reduce); ``to_lanes`` broadcasts a (1, reps) per-example vector back to
+    (1, reps*HW) lanes."""
+    f32 = jnp.float32
+    RHW = reps * HW
+    seg = (jax.lax.broadcasted_iota(jnp.int32, (RHW, reps), 0) // HW
+           == jax.lax.broadcasted_iota(jnp.int32, (RHW, reps), 1)).astype(f32)
+    segT = (jax.lax.broadcasted_iota(jnp.int32, (reps, RHW), 1) // HW
+            == jax.lax.broadcasted_iota(jnp.int32, (reps, RHW), 0)).astype(f32)
+    dn = (((1,), (0,)), ((), ()))
+
+    def seg_sum(plane):
+        t = jax.lax.dot_general(plane.astype(f32), seg, dn,
+                                preferred_element_type=f32)  # (rows, reps)
+        return jnp.sum(t, axis=0, keepdims=True)             # (1, reps)
+
+    def to_lanes(v):
+        return jax.lax.dot_general(v.astype(f32), segT, dn,
+                                   preferred_element_type=f32)  # (1, RHW)
+
+    return seg_sum, to_lanes
+
+
+class _PackedLoopState(NamedTuple):
+    z: jax.Array
+    gx: jax.Array
+    update: jax.Array
+    U: tuple
+    V: tuple
+    best_z: jax.Array
+    best_gx: jax.Array
+    best_obj: jax.Array   # (1, reps) f32
+    best_snap: jax.Array  # (1, reps) f32
+    best_step: jax.Array  # (1, reps) f32 (counts)
+    nstep: jax.Array      # (1, reps) f32 (counts)
+    prot: jax.Array       # (1, reps) f32 0/1
+    done: jax.Array       # (1, reps) f32 0/1
+
+
+def _broyden_in_kernel_packed(resid, z0, *, c8, HW, reps, threshold, eps_i,
+                              stall_patience, stall_rtol):
+    """Lane-packed twin of :func:`_broyden_in_kernel`: ``reps`` examples per
+    program, each with its own convergence/stall/protective-break state.
+    Per-example scalars live as (1, reps) vectors; the rank-1 inner products
+    become segment sums (one small matmul each). Frozen (done) examples'
+    state is write-masked — identical per-example semantics to running each
+    example in its own program, modulo the shared loop trip count (extra
+    iterations only recompute frozen values and mask the writes)."""
+    # Mosaic cannot yield vector masks (i1) or narrow int vectors from an
+    # scf loop region — every per-example flag/counter in the carry is a
+    # (1, reps) f32 0/1 vector (booleans live only as temporaries).
+    f32 = jnp.float32
+    RHW = reps * HW
+    K = threshold
+    seg_sum, to_lanes = _make_seg(reps, HW)
+    norm = lambda g: jnp.sqrt(seg_sum(g * g))
+    zero_plane = jnp.zeros((c8, RHW), f32)
+    zero_vec = jnp.zeros((1, reps), f32)
+    b2f = lambda b: b.astype(f32)
+
+    g0 = resid(z0)
+    init_obj = norm(g0)
+    s0 = _PackedLoopState(
+        z=z0, gx=g0, update=-g0,
+        U=(zero_plane,) * K, V=(zero_plane,) * K,
+        best_z=z0, best_gx=g0, best_obj=init_obj, best_snap=init_obj,
+        best_step=zero_vec, nstep=zero_vec,
+        prot=zero_vec, done=b2f(init_obj < eps_i))
+
+    def cond(s):
+        return jnp.max((1.0 - s.done) * b2f(s.nstep < threshold)) > 0.5
+
+    def body(s):
+        active = (1.0 - s.done) * b2f(s.nstep < threshold)   # (1, reps) f32
+        act_l = to_lanes(active)
+        z_new = s.z + s.update * act_l
+        g_new = resid(z_new)
+        delta_g = (g_new - s.gx) * act_l
+        nstep = s.nstep + active
+        obj = norm(g_new)
+
+        improved = active * b2f(obj < s.best_obj)
+        imp_l = to_lanes(improved)
+        best_z = jnp.where(imp_l > 0.5, z_new, s.best_z)
+        best_gx = jnp.where(imp_l > 0.5, g_new, s.best_gx)
+        best_obj = jnp.where(improved > 0.5, obj, s.best_obj)
+        best_step = jnp.where(improved > 0.5, nstep, s.best_step)
+
+        bad = active * b2f(~jnp.isfinite(obj)
+                           | (obj > init_obj * _PROTECT_THRES))
+        prot = jnp.maximum(s.prot, bad)
+        done = jnp.maximum(s.done,
+                           jnp.maximum(bad, active * b2f(obj < eps_i)))
+        if stall_patience is not None:
+            at_check = active * b2f(
+                jnp.floor(nstep - stall_patience
+                          * jnp.floor(nstep / stall_patience)) < 0.5)
+            stalled = at_check * b2f(
+                best_obj > s.best_snap * (1.0 - stall_rtol))
+            done = jnp.maximum(done, stalled)
+            best_snap = jnp.where(at_check > 0.5, best_obj, s.best_snap)
+        else:
+            best_snap = s.best_snap
+
+        # Rank-1 secant update, per-example contractions via segment sums.
+        UVd = zero_plane
+        UVg = zero_plane
+        vT = -s.update
+        for k in range(K):
+            UVd = UVd + s.U[k] * to_lanes(seg_sum(s.V[k] * delta_g))
+            UVg = UVg + s.U[k] * to_lanes(seg_sum(s.V[k] * g_new))
+            vT = vT + s.V[k] * to_lanes(seg_sum(s.U[k] * s.update))
+        matvec_dgx = -delta_g + UVd
+        matvec_gx = -g_new + UVg
+        denom_l = to_lanes(seg_sum(vT * delta_g))
+        u = (s.update - matvec_dgx) / denom_l
+        vT = jnp.where(jnp.isfinite(vT), vT, 0.0)
+        u = jnp.where(jnp.isfinite(u), u, 0.0)
+
+        # circular column index (nstep - 1) mod K, in f32 arithmetic
+        col = nstep - 1.0
+        col = col - K * jnp.floor(col / K)
+        U, V = [], []
+        for k in range(K):
+            wk = to_lanes(active * b2f(jnp.abs(col - k) < 0.5))
+            U.append(jnp.where(wk > 0.5, u, s.U[k]))
+            V.append(jnp.where(wk > 0.5, vT, s.V[k]))
+        update = -matvec_gx - u * to_lanes(seg_sum(vT * g_new))
+
+        return _PackedLoopState(z=z_new, gx=g_new, update=update,
+                                U=tuple(U), V=tuple(V),
+                                best_z=best_z, best_gx=best_gx,
+                                best_obj=best_obj, best_snap=best_snap,
+                                best_step=best_step, nstep=nstep, prot=prot,
+                                done=done)
+
+    return jax.lax.while_loop(cond, body, s0)
+
+
 class _LoopState(NamedTuple):
     z: jax.Array
     gx: jax.Array
@@ -268,11 +411,11 @@ def _solve_kernel(betas_ref, x_ref,
                   m1x_ref, m2x_ref, m3x_ref, b1x_ref, b2x_ref, b3x_ref,
                   m1z_ref, m2z_ref, m3z_ref, b1z_ref, b2z_ref, b3z_ref,
                   z_out_ref, g_out_ref, diag_ref,
-                  *, H, W, c8, mid, threshold, eps_i, stall_patience,
+                  *, H, W, reps, c8, mid, threshold, eps_i, stall_patience,
                   stall_rtol, preact_x, preact_z, warm_start, mode):
     f32 = jnp.float32
-    HW = H * W
-    shifted = _make_shifted(H, W)
+    RHW = reps * H * W
+    shifted = _make_shifted(H, W, reps)
     dot = _make_dot(mode)
 
     x = x_ref[0]
@@ -280,27 +423,49 @@ def _solve_kernel(betas_ref, x_ref,
     b1z, b2z, b3z = b1z_ref[:], b2z_ref[:], b3z_ref[:]
     eval_x = _make_eval(shifted, dot, m1x_ref[:], m2x_ref[:], m3x_ref[:],
                         b1x, b2x, b3x, betas_ref[0], betas_ref[1],
-                        betas_ref[2], preact_x, c8, HW)
+                        betas_ref[2], preact_x, c8, RHW)
     eval_z = _make_eval(shifted, dot, m1z_ref[:], m2z_ref[:], m3z_ref[:],
                         b1z, b2z, b3z, betas_ref[3], betas_ref[4],
-                        betas_ref[5], preact_z, c8, HW)
+                        betas_ref[5], preact_z, c8, RHW)
 
     x_embed = x + eval_x(x)
     resid = lambda z: x_embed - eval_z(z) - z
+    z0 = x if warm_start else jnp.zeros((c8, RHW), f32)
 
-    s = _broyden_in_kernel(resid, x if warm_start else jnp.zeros((c8, HW), f32),
-                           c8=c8, HW=HW, threshold=threshold, eps_i=eps_i,
-                           stall_patience=stall_patience, stall_rtol=stall_rtol)
+    if reps == 1:
+        s = _broyden_in_kernel(resid, z0,
+                               c8=c8, HW=RHW, threshold=threshold,
+                               eps_i=eps_i, stall_patience=stall_patience,
+                               stall_rtol=stall_rtol)
+    else:
+        s = _broyden_in_kernel_packed(resid, z0,
+                                      c8=c8, HW=H * W, reps=reps,
+                                      threshold=threshold, eps_i=eps_i,
+                                      stall_patience=stall_patience,
+                                      stall_rtol=stall_rtol)
 
     z_out_ref[0] = s.best_z
     g_out_ref[0] = s.best_gx
-    # Mosaic requires (8, 128)-tileable output blocks: write the scalar
-    # diagnostics as lane-broadcast rows of an (8, 128) tile.
-    row = lambda v: jnp.broadcast_to(
-        jnp.asarray(v, f32).reshape(1, 1), (1, 128))
-    diag_ref[0] = jnp.concatenate([
+    diag_ref[0] = _diag_tile(s, eps_i, reps)
+
+
+def _diag_tile(s, eps_i, reps):
+    """Per-example solver diagnostics as an (8, 128) f32 tile: rows
+    [nstep, converged, prot, best_obj, best_step, 0, 0, 0], one example per
+    lane (lane-broadcast when reps == 1). Mosaic requires (8, 128)-tileable
+    output blocks."""
+    f32 = jnp.float32
+    if reps == 1:
+        row = lambda v: jnp.broadcast_to(
+            jnp.asarray(v, f32).reshape(1, 1), (1, 128))
+    else:
+        pad = lambda v: jnp.pad(v.astype(f32), ((0, 0), (0, 128 - reps)))
+        row = lambda v: pad(v if hasattr(v, "ndim") and v.ndim == 2
+                            else jnp.broadcast_to(jnp.asarray(v, f32), (1, reps)))
+    zero = jnp.zeros((3, 128), f32)
+    return jnp.concatenate([
         row(s.nstep), row(s.best_obj < eps_i), row(s.prot), row(s.best_obj),
-        row(s.best_step), row(0.0), row(0.0), row(0.0)], axis=0)
+        row(s.best_step), zero], axis=0)
 
 
 def _make_apply_jt(shifted, dot, m3, m2, m1, s0, s1, s2, c8, HW):
@@ -324,29 +489,38 @@ def _make_apply_jt(shifted, dot, m3, m2, m1, s0, s1, s2, c8, HW):
 
 def _backward_kernel(grad_ref, s0_ref, s1_ref, s2_ref,
                      m3_ref, m2_ref, m1_ref, u_out_ref,
-                     *, H, W, c8, mid, threshold, eps_i, stall_patience,
+                     *, H, W, reps, c8, mid, threshold, eps_i, stall_patience,
                      stall_rtol, mode):
-    """Solve u (I + J_gz) = grad for one example, fully in VMEM: the
-    linearization tensors s0/s1/s2 stay resident across all iterations
-    (the XLA path re-streams them per VJP application)."""
+    """Solve u (I + J_gz) = grad for one example (or ``reps`` lane-packed
+    examples), fully in VMEM: the linearization tensors s0/s1/s2 stay
+    resident across all iterations (the XLA path re-streams them per VJP
+    application)."""
     f32 = jnp.float32
-    HW = H * W
-    shifted = _make_shifted(H, W)
+    RHW = reps * H * W
+    shifted = _make_shifted(H, W, reps)
     dot = _make_dot(mode)
     apply_JT = _make_apply_jt(shifted, dot, m3_ref[:], m2_ref[:], m1_ref[:],
                               s0_ref[0].astype(f32), s1_ref[0].astype(f32),
-                              s2_ref[0].astype(f32), c8, HW)
+                              s2_ref[0].astype(f32), c8, RHW)
     grad = grad_ref[0]
     resid = lambda u: u + apply_JT(u) - grad
-    s = _broyden_in_kernel(resid, jnp.zeros((c8, HW), f32),
-                           c8=c8, HW=HW, threshold=threshold, eps_i=eps_i,
-                           stall_patience=stall_patience, stall_rtol=stall_rtol)
+    if reps == 1:
+        s = _broyden_in_kernel(resid, jnp.zeros((c8, RHW), f32),
+                               c8=c8, HW=RHW, threshold=threshold,
+                               eps_i=eps_i, stall_patience=stall_patience,
+                               stall_rtol=stall_rtol)
+    else:
+        s = _broyden_in_kernel_packed(resid, jnp.zeros((c8, RHW), f32),
+                                      c8=c8, HW=H * W, reps=reps,
+                                      threshold=threshold, eps_i=eps_i,
+                                      stall_patience=stall_patience,
+                                      stall_rtol=stall_rtol)
     u_out_ref[0] = s.best_z
 
 
 def fused_backward_solve(grad, chain_data, *, threshold, eps,
                          stall_patience, stall_rtol, mode="bf16",
-                         interpret=False):
+                         interpret=False, reps=1):
     """Fused implicit-gradient solve ``u (I + J_gz) = grad``
     (``imBlock.Backward.backward``, reference implicit_block.py:196-206).
 
@@ -375,28 +549,32 @@ def fused_backward_solve(grad, chain_data, *, threshold, eps,
     m1 = conv3_transpose_mats_cout(w1.astype(mdt), c8)
     mid = m2.shape[0]
 
-    gp = _pad_c(grad.astype(jnp.float32), c8)
-    s0p = _pad_c(s0, c8)
-    fl = lambda a: a.reshape(B, a.shape[1], HW)
+    from .fused_chain import pack_reps, unpack_reps
+
+    RHW = reps * HW
+    pk = lambda a: pack_reps(a, reps)
+    gp = pk(_pad_c(grad.astype(jnp.float32), c8))
+    s0p = pk(_pad_c(s0, c8))
+    fl = lambda a: pk(a.reshape(B, a.shape[1], HW))
     s1p, s2p = fl(s1), fl(s2)
 
     def _call(gp, s0p, s1p, s2p, m3, m2, m1):
-        Bl = gp.shape[0]  # per-shard batch under shard_map
+        Bl = gp.shape[0]  # per-shard packed batch under shard_map
         ex = lambda i: (i, 0, 0)
         const2 = lambda r, s: pl.BlockSpec((r, s), lambda i: (0, 0))
         return pl.pallas_call(
-            functools.partial(_backward_kernel, H=H, W=W, c8=c8, mid=mid,
-                              threshold=int(threshold), eps_i=eps_i,
+            functools.partial(_backward_kernel, H=H, W=W, reps=reps, c8=c8,
+                              mid=mid, threshold=int(threshold), eps_i=eps_i,
                               stall_patience=stall_patience,
                               stall_rtol=stall_rtol, mode=mode),
             grid=(Bl,),
-            in_specs=[pl.BlockSpec((1, c8, HW), ex),
-                      pl.BlockSpec((1, c8, HW), ex),
-                      pl.BlockSpec((1, mid, HW), ex),
-                      pl.BlockSpec((1, mid, HW), ex),
+            in_specs=[pl.BlockSpec((1, c8, RHW), ex),
+                      pl.BlockSpec((1, c8, RHW), ex),
+                      pl.BlockSpec((1, mid, RHW), ex),
+                      pl.BlockSpec((1, mid, RHW), ex),
                       const2(mid, 9 * c8), const2(mid, mid), const2(9 * c8, mid)],
-            out_specs=pl.BlockSpec((1, c8, HW), ex),
-            out_shape=jax.ShapeDtypeStruct((Bl, c8, HW), jnp.float32),
+            out_specs=pl.BlockSpec((1, c8, RHW), ex),
+            out_shape=jax.ShapeDtypeStruct((Bl, c8, RHW), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
@@ -404,7 +582,7 @@ def fused_backward_solve(grad, chain_data, *, threshold, eps,
 
     out = _maybe_shard(_call, n_batch_leading=4, n_rep_leading=0, n_out=1)(
         gp, s0p, s1p, s2p, m3, m2, m1)
-    return out[:, :c].reshape(B, c, H, W)
+    return unpack_reps(out, reps)[:, :c].reshape(B, c, H, W)
 
 
 def _pad_c(a, c8):
@@ -560,16 +738,17 @@ def _reattach_vjp_kernel(betas_ref, x_ref, zh_ref, u_ref,
                          db3x_ref, dbx_ref,
                          dW1z_ref, dW2z_ref, dW3z_ref, db1z_ref, db2z_ref,
                          db3z_ref, dbz_ref,
-                         *, H, W, c8, mid, preact_x, preact_z, mode):
+                         *, H, W, reps, c8, mid, preact_x, preact_z, mode):
     """VJP of the re-attachment ``(vx, vz, xx) -> xx + g_x(xx) - g_z(z_hat)``
     with cotangent u (``_make_bwd_core``'s closing step; reference
     implicit_block.py:210-213,227) for one example per grid step, with the
     per-parameter grads accumulated across the batch in VMEM-resident output
     tiles. d_x = u + J_gx^T u; net_z sees cotangent -u; z_hat is a constant
-    (no d_z)."""
+    (no d_z). ``reps`` examples may be lane-packed per program — the
+    per-parameter outputs are batch sums either way."""
     f32 = jnp.float32
-    HW = H * W
-    shifted = _make_shifted(H, W)
+    HW = reps * H * W
+    shifted = _make_shifted(H, W, reps)
     dot = _make_dot(mode)
     from jax.experimental import pallas as pl
 
@@ -630,7 +809,7 @@ def conv3_forward_mats_cout_grad(dm, O, I):
 
 
 def fused_reattach_vjp(x, z_hat, u, data_x, data_z, *, mode="bf16",
-                       interpret=False):
+                       interpret=False, reps=1):
     """Pallas re-attachment VJP: returns ``(d_x, d_data_x, d_data_z)`` where
     the d_data dicts carry grads w.r.t. the EFFECTIVE conv kernels, biases
     and softplus-resolved swish slopes of ``conv_forward_data`` — pull them
@@ -646,15 +825,18 @@ def fused_reattach_vjp(x, z_hat, u, data_x, data_z, *, mode="bf16",
               for k, v in data_x.items()}
     data_z = {k: (jax.lax.stop_gradient(v) if hasattr(v, "dtype") else v)
               for k, v in data_z.items()}
+    from .fused_chain import pack_reps, unpack_reps
+
     mats_x, mats_z = _prep_fwd(data_x, c8), _prep_fwd(data_z, c8)
     tm_x = _prep_jt(data_x, c8, jnp.float32)
     tm_z = _prep_jt(data_z, c8, jnp.float32)
     mid = mats_x[1].shape[0]
     betas = jnp.concatenate([data_x["betas"], data_z["betas"]]).astype(jnp.float32)
 
-    xp = _pad_c(x.astype(jnp.float32), c8)
-    zhp = _pad_c(z_hat.astype(jnp.float32), c8)
-    up = _pad_c(u.astype(jnp.float32), c8)
+    RHW = reps * HW
+    xp = pack_reps(_pad_c(x.astype(jnp.float32), c8), reps)
+    zhp = pack_reps(_pad_c(z_hat.astype(jnp.float32), c8), reps)
+    up = pack_reps(_pad_c(u.astype(jnp.float32), c8), reps)
 
     grad_shapes = [
         jax.ShapeDtypeStruct((mid, 9 * c8), jnp.float32),
@@ -670,7 +852,7 @@ def fused_reattach_vjp(x, z_hat, u, data_x, data_z, *, mode="bf16",
         Bl = xp.shape[0]
         ex = lambda i, b: (i, 0, 0)
         const2 = lambda r, s: pl.BlockSpec((r, s), lambda i, b: (0, 0))
-        in_specs = [pl.BlockSpec((1, c8, HW), ex)] * 3
+        in_specs = [pl.BlockSpec((1, c8, RHW), ex)] * 3
         for _ in range(2):
             in_specs += [const2(mid, 9 * c8), const2(mid, mid),
                          const2(9 * c8, mid),
@@ -685,16 +867,16 @@ def fused_reattach_vjp(x, z_hat, u, data_x, data_z, *, mode="bf16",
             num_scalar_prefetch=1,
             grid=(Bl,),
             in_specs=in_specs,
-            out_specs=[pl.BlockSpec((1, c8, HW), ex)] + gspecs + gspecs,
+            out_specs=[pl.BlockSpec((1, c8, RHW), ex)] + gspecs + gspecs,
         )
         kernel = functools.partial(
-            _reattach_vjp_kernel, H=H, W=W, c8=c8, mid=mid,
+            _reattach_vjp_kernel, H=H, W=W, reps=reps, c8=c8, mid=mid,
             preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
             mode=mode)
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((Bl, c8, HW), jnp.float32)]
+            out_shape=[jax.ShapeDtypeStruct((Bl, c8, RHW), jnp.float32)]
                       + grad_shapes + grad_shapes,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
@@ -724,7 +906,7 @@ def fused_reattach_vjp(x, z_hat, u, data_x, data_z, *, mode="bf16",
     else:
         outs = _call(betas, xp, zhp, up, *mats_x, *mats_z, *tm_x, *tm_z)
 
-    d_x = outs[0][:, :c].reshape(B, c, H, W)
+    d_x = unpack_reps(outs[0], reps)[:, :c].reshape(B, c, H, W)
 
     def unpack(gs, data):
         dW1, dW2, dW3s, db1, db2, db3, dbt = gs
@@ -747,9 +929,10 @@ def fused_reattach_vjp(x, z_hat, u, data_x, data_z, *, mode="bf16",
 
 
 def _final_T_in_kernel(shifted, dot, mats, tmats, beta0, beta1, beta2,
-                       preact, c8, HW, h, e, acc):
+                       preact, c8, HW, h, e, acc, sum_fn=jnp.sum):
     """T = <acc, J_g(h) e> for one example: primal forward (for the swish
-    slopes) + tangent forward. Returns the scalar T."""
+    slopes) + tangent forward. Returns ``sum_fn(r2 * ta2)`` — the scalar T,
+    or per-example (1, reps) sums when lane-packed."""
     m1, m2, m3, b1, b2, b3 = mats
     a0 = _swish(h, beta0) if preact else h
     a0sh = jnp.concatenate(
@@ -768,7 +951,7 @@ def _final_T_in_kernel(shifted, dot, mats, tmats, beta0, beta1, beta2,
     csh = jnp.concatenate(
         [shifted(acc, dy, dx) for (dy, dx) in _OFFSETS], axis=0)
     r2 = dot(m3t, csh)
-    return jnp.sum(r2 * ta2)
+    return sum_fn(r2 * ta2)
 
 
 def _final_grads_in_kernel(shifted, dot, mats, tmats, beta0, beta1, beta2,
@@ -845,11 +1028,20 @@ def _final_primal_kernel(betas_ref, x_ref, z_ref, ex_ref, ez_ref,
                          m1z_ref, m2z_ref, m3z_ref, b1z_ref, b2z_ref, b3z_ref,
                          m3tx_ref, m2tx_ref, m1tx_ref,
                          m3tz_ref, m2tz_ref, m1tz_ref,
-                         t_ref, *, H, W, c8, mid, preact_x, preact_z, mode):
+                         t_ref, *, H, W, reps, c8, mid, preact_x, preact_z,
+                         mode):
     f32 = jnp.float32
-    HW = H * W
-    shifted = _make_shifted(H, W)
+    HW = reps * H * W
+    shifted = _make_shifted(H, W, reps)
     dot = _make_dot(mode)
+    if reps == 1:
+        sum_fn = jnp.sum
+        row = lambda v: jnp.broadcast_to(
+            jnp.asarray(v, f32).reshape(1, 1), (1, 128))
+    else:
+        seg_sum, _ = _make_seg(reps, H * W)
+        sum_fn = seg_sum
+        row = lambda v: jnp.pad(v.astype(f32), ((0, 0), (0, 128 - reps)))
     mats_x = (m1x_ref[:], m2x_ref[:], m3x_ref[:],
               b1x_ref[:], b2x_ref[:], b3x_ref[:])
     mats_z = (m1z_ref[:], m2z_ref[:], m3z_ref[:],
@@ -857,17 +1049,18 @@ def _final_primal_kernel(betas_ref, x_ref, z_ref, ex_ref, ez_ref,
     T_x = _final_T_in_kernel(shifted, dot, mats_x,
                              (m3tx_ref[:], m2tx_ref[:], m1tx_ref[:]),
                              betas_ref[0], betas_ref[1], betas_ref[2],
-                             preact_x, c8, HW, x_ref[0], ex_ref[0], ax_ref[0])
+                             preact_x, c8, HW, x_ref[0], ex_ref[0], ax_ref[0],
+                             sum_fn)
     T_z = _final_T_in_kernel(shifted, dot, mats_z,
                              (m3tz_ref[:], m2tz_ref[:], m1tz_ref[:]),
                              betas_ref[3], betas_ref[4], betas_ref[5],
-                             preact_z, c8, HW, z_ref[0], ez_ref[0], az_ref[0])
-    row = lambda v: jnp.broadcast_to(jnp.asarray(v, f32).reshape(1, 1), (1, 128))
+                             preact_z, c8, HW, z_ref[0], ez_ref[0], az_ref[0],
+                             sum_fn)
     t_ref[0] = jnp.concatenate([row(T_x), row(T_z)]
                                + [jnp.zeros((6, 128), f32)], axis=0)
 
 
-def _final_bwd_kernel(betas_ref, cot_ref, x_ref, z_ref, ex_ref, ez_ref,
+def _final_bwd_kernel(betas_ref, x_ref, z_ref, ex_ref, ez_ref,
                       ax_ref, az_ref,
                       m1x_ref, m2x_ref, m3x_ref, b1x_ref, b2x_ref, b3x_ref,
                       m1z_ref, m2z_ref, m3z_ref, b1z_ref, b2z_ref, b3z_ref,
@@ -876,10 +1069,13 @@ def _final_bwd_kernel(betas_ref, cot_ref, x_ref, z_ref, ex_ref, ez_ref,
                       dx_ref, dz_ref,
                       dW1x_ref, dW2x_ref, dW3x_ref, db1x_ref, db2x_ref, dbx_ref,
                       dW1z_ref, dW2z_ref, dW3z_ref, db1z_ref, db2z_ref, dbz_ref,
-                      *, H, W, c8, mid, preact_x, preact_z, mode):
+                      *, H, W, reps, c8, mid, preact_x, preact_z, mode):
+    # The per-example loss cotangents are pre-folded into ax/az XLA-side
+    # (everything downstream is linear in acc), so the kernel is
+    # cotangent-free and lane-packing needs no per-example scalars.
     f32 = jnp.float32
-    HW = H * W
-    shifted = _make_shifted(H, W)
+    HW = reps * H * W
+    shifted = _make_shifted(H, W, reps)
     dot = _make_dot(mode)
     from jax.experimental import pallas as pl
 
@@ -887,16 +1083,14 @@ def _final_bwd_kernel(betas_ref, cot_ref, x_ref, z_ref, ex_ref, ez_ref,
               b1x_ref[:], b2x_ref[:], b3x_ref[:])
     mats_z = (m1z_ref[:], m2z_ref[:], m3z_ref[:],
               b1z_ref[:], b2z_ref[:], b3z_ref[:])
-    wx = cot_ref[0, 0, 0]
-    wz = cot_ref[0, 1, 0]
     d_hx, gx = _final_grads_in_kernel(
         shifted, dot, mats_x, (m3tx_ref[:], m2tx_ref[:], m1tx_ref[:]),
         betas_ref[0], betas_ref[1], betas_ref[2], preact_x, c8, HW,
-        x_ref[0], ex_ref[0], ax_ref[0] * wx)
+        x_ref[0], ex_ref[0], ax_ref[0])
     d_hz, gz = _final_grads_in_kernel(
         shifted, dot, mats_z, (m3tz_ref[:], m2tz_ref[:], m1tz_ref[:]),
         betas_ref[3], betas_ref[4], betas_ref[5], preact_z, c8, HW,
-        z_ref[0], ez_ref[0], az_ref[0] * wz)
+        z_ref[0], ez_ref[0], az_ref[0])
     dx_ref[0] = d_hx
     dz_ref[0] = d_hz
 
@@ -920,7 +1114,8 @@ def _final_bwd_kernel(betas_ref, cot_ref, x_ref, z_ref, ex_ref, ez_ref,
 
 
 @functools.lru_cache(maxsize=64)
-def _make_fused_final_pair(c, H, W, mid, preact_x, preact_z, mode, interpret):
+def _make_fused_final_pair(c, H, W, mid, preact_x, preact_z, mode, interpret,
+                           reps=1):
     """custom_vjp function (T_x, T_z) = (<acc_x, J_gx(x) eps_x>,
     <acc_z, J_gz(z) eps_z>) with a Pallas primal and a hand-derived
     second-order Pallas backward. Grads flow to the effective-weight dicts
@@ -929,7 +1124,10 @@ def _make_fused_final_pair(c, H, W, mid, preact_x, preact_z, mode, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from .fused_chain import pack_reps, unpack_reps
+
     HW = H * W
+    RHW = reps * HW
     c8 = max(8, -(-c // 8) * 8)
 
     grad_shapes = [
@@ -941,11 +1139,10 @@ def _make_fused_final_pair(c, H, W, mid, preact_x, preact_z, mode, interpret):
         jax.ShapeDtypeStruct((8, 128), jnp.float32),
     ]
 
-    def batch_specs(n, extra=0):
+    def batch_specs(n):
         ex = lambda i, b: (i, 0, 0)
         const2 = lambda r, s: pl.BlockSpec((r, s), lambda i, b: (0, 0))
-        specs = [pl.BlockSpec((1, 8, 128), ex)] * extra
-        specs += [pl.BlockSpec((1, c8, HW), ex)] * n
+        specs = [pl.BlockSpec((1, c8, RHW), ex)] * n
         for _ in range(2):
             specs += [const2(mid, 9 * c8), const2(mid, mid),
                       const2(9 * c8, mid),
@@ -962,7 +1159,7 @@ def _make_fused_final_pair(c, H, W, mid, preact_x, preact_z, mode, interpret):
             num_scalar_prefetch=1, grid=(Bl,), in_specs=in_specs,
             out_specs=[pl.BlockSpec((1, 8, 128), ex)])
         kernel = functools.partial(
-            _final_primal_kernel, H=H, W=W, c8=c8, mid=mid,
+            _final_primal_kernel, H=H, W=W, reps=reps, c8=c8, mid=mid,
             preact_x=preact_x, preact_z=preact_z, mode=mode)
         [t] = pl.pallas_call(
             kernel, grid_spec=grid_spec,
@@ -973,25 +1170,25 @@ def _make_fused_final_pair(c, H, W, mid, preact_x, preact_z, mode, interpret):
         )(betas, xp, zp, exp_, ezp, axp, azp, *mats)
         return t
 
-    def bwd_call(betas, cots, xp, zp, exp_, ezp, axp, azp, *mats):
+    def bwd_call(betas, xp, zp, exp_, ezp, axp, azp, *mats):
         Bl = xp.shape[0]
-        in_specs, ex, const2 = batch_specs(6, extra=1)
+        in_specs, ex, const2 = batch_specs(6)
         gspecs = [const2(mid, 9 * c8), const2(mid, mid), const2(9 * c8, mid),
                   const2(mid, 1), const2(mid, 1), const2(8, 128)]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(Bl,), in_specs=in_specs,
-            out_specs=[pl.BlockSpec((1, c8, HW), ex)] * 2 + gspecs + gspecs)
+            out_specs=[pl.BlockSpec((1, c8, RHW), ex)] * 2 + gspecs + gspecs)
         kernel = functools.partial(
-            _final_bwd_kernel, H=H, W=W, c8=c8, mid=mid,
+            _final_bwd_kernel, H=H, W=W, reps=reps, c8=c8, mid=mid,
             preact_x=preact_x, preact_z=preact_z, mode=mode)
         return pl.pallas_call(
             kernel, grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((Bl, c8, HW), jnp.float32)] * 2
+            out_shape=[jax.ShapeDtypeStruct((Bl, c8, RHW), jnp.float32)] * 2
                       + grad_shapes + grad_shapes,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
-        )(betas, cots, xp, zp, exp_, ezp, axp, azp, *mats)
+        )(betas, xp, zp, exp_, ezp, axp, azp, *mats)
 
     def prep_all(data_x, data_z, x, z, eps_x, eps_z, acc_x, acc_z):
         dsx = {k: (jax.lax.stop_gradient(v) if hasattr(v, "dtype") else v)
@@ -1001,7 +1198,7 @@ def _make_fused_final_pair(c, H, W, mid, preact_x, preact_z, mode, interpret):
         mats = (_prep_fwd(dsx, c8) + _prep_fwd(dsz, c8)
                 + _prep_jt(dsx, c8, jnp.float32) + _prep_jt(dsz, c8, jnp.float32))
         betas = jnp.concatenate([dsx["betas"], dsz["betas"]]).astype(jnp.float32)
-        tens = [_pad_c(a.astype(jnp.float32), c8)
+        tens = [pack_reps(_pad_c(a.astype(jnp.float32), c8), reps)
                 for a in (x, z, eps_x, eps_z, acc_x, acc_z)]
         return betas, tens, mats
 
@@ -1011,7 +1208,10 @@ def _make_fused_final_pair(c, H, W, mid, preact_x, preact_z, mode, interpret):
                                      acc_x, acc_z)
         t = _maybe_shard(primal_call, n_batch_leading=6, n_rep_leading=1,
                          n_out=1)(betas, *tens, *mats)
-        return t[:, 0, 0], t[:, 1, 0]
+        if reps == 1:
+            return t[:, 0, 0], t[:, 1, 0]
+        B = t.shape[0] * reps
+        return t[:, 0, :reps].reshape(B), t[:, 1, :reps].reshape(B)
 
     def fwd(data_x, data_z, x, z, eps_x, eps_z, acc_x, acc_z):
         out = fused_final(data_x, data_z, x, z, eps_x, eps_z, acc_x, acc_z)
@@ -1020,12 +1220,13 @@ def _make_fused_final_pair(c, H, W, mid, preact_x, preact_z, mode, interpret):
     def bwd(res, cots):
         data_x, data_z, x, z, eps_x, eps_z, acc_x, acc_z = res
         wx, wz = cots
-        B = x.shape[0]
+        # Fold the per-example loss cotangents into the accs before packing
+        # (everything downstream of acc is linear in it) — the kernel then
+        # needs no per-example scalars at all.
+        w4 = lambda w: w[:, None, None, None].astype(jnp.float32)
         betas, tens, mats = prep_all(data_x, data_z, x, z, eps_x, eps_z,
-                                     acc_x, acc_z)
-        cot_tile = jnp.zeros((B, 8, 128), jnp.float32)
-        cot_tile = cot_tile.at[:, 0, :].set(wx[:, None])
-        cot_tile = cot_tile.at[:, 1, :].set(wz[:, None])
+                                     acc_x.astype(jnp.float32) * w4(wx),
+                                     acc_z.astype(jnp.float32) * w4(wz))
 
         from jax.sharding import PartitionSpec as P
         from jax.sharding import get_abstract_mesh
@@ -1036,15 +1237,15 @@ def _make_fused_final_pair(c, H, W, mid, preact_x, preact_z, mode, interpret):
                 os_ = bwd_call(*args)
                 return (os_[0], os_[1],
                         *[jax.lax.psum(r, "data") for r in os_[2:]])
-            in_specs = tuple([P()] + [P("data", None, None)] * 7 + [P()] * 18)
+            in_specs = tuple([P()] + [P("data", None, None)] * 6 + [P()] * 18)
             out_specs = tuple([P("data", None, None)] * 2 + [P()] * 12)
             outs = jax.shard_map(sharded_bwd, mesh=m, in_specs=in_specs,
                                  out_specs=out_specs, check_vma=False)(
-                betas, cot_tile, *tens, *mats)
+                betas, *tens, *mats)
         else:
-            outs = bwd_call(betas, cot_tile, *tens, *mats)
-        d_x = outs[0][:, :c].reshape(x.shape)
-        d_z = outs[1][:, :c].reshape(z.shape)
+            outs = bwd_call(betas, *tens, *mats)
+        d_x = unpack_reps(outs[0], reps)[:, :c].reshape(x.shape)
+        d_z = unpack_reps(outs[1], reps)[:, :c].reshape(z.shape)
 
         def unpack(gs, data):
             dW1, dW2, dW3s, db1, db2, dbt = gs
@@ -1071,7 +1272,7 @@ def _make_fused_final_pair(c, H, W, mid, preact_x, preact_z, mode, interpret):
 
 
 def fused_final_pair(data_x, data_z, x, z, eps_x, eps_z, acc_x, acc_z, *,
-                     mode="bf16", interpret=False):
+                     mode="bf16", interpret=False, reps=1):
     """Both nets' differentiable estimator-final terms
     (``ops.logdet.neumann_final`` semantics: T = <J^T acc, eps> = <acc, J eps>)
     as one Pallas primal + one hand-derived second-order Pallas backward.
@@ -1081,7 +1282,8 @@ def fused_final_pair(data_x, data_z, x, z, eps_x, eps_z, acc_x, acc_z, *,
     B, c, H, W = x.shape
     mid = data_x["w2"].shape[0]
     fn = _make_fused_final_pair(c, H, W, mid, bool(data_x["preact"]),
-                                bool(data_z["preact"]), mode, interpret)
+                                bool(data_z["preact"]), mode, interpret,
+                                reps)
     strip = lambda d: {k: v for k, v in d.items() if k != "preact"}
     return fn(strip(data_x), strip(data_z), x, z, eps_x, eps_z, acc_x, acc_z)
 
@@ -1268,7 +1470,8 @@ def fused_block_forward(x, data_x, data_z, eps_x, eps_z, signed_coeffs,
 
 def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
                         stall_patience, stall_rtol, warm_start=False,
-                        mode="tf32", interpret=False) -> FusedSolveResult:
+                        mode="tf32", interpret=False,
+                        reps=1) -> FusedSolveResult:
     """Solve ``z : x + g_x(x) = z + g_z(z)`` for a batch, fully in-kernel.
 
     Args:
@@ -1291,17 +1494,20 @@ def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
     D = c * H * W
     eps_i = float(eps) * (D ** 0.5)
 
+    from .fused_chain import pack_reps, unpack_reps
+
     mats_x, mats_z = _prep_fwd(data_x, c8), _prep_fwd(data_z, c8)
     mid = mats_x[1].shape[0]
     betas = jnp.concatenate([data_x["betas"], data_z["betas"]]).astype(jnp.float32)
 
-    xp = _pad_c(x.astype(jnp.float32), c8)
+    RHW = reps * HW
+    xp = pack_reps(_pad_c(x.astype(jnp.float32), c8), reps)
 
     def _call(betas, xp, *mats):
-        Bl = xp.shape[0]  # per-shard batch under shard_map
+        Bl = xp.shape[0]  # per-shard packed batch under shard_map
         ex = lambda i, b: (i, 0, 0)
         const2 = lambda r, s: pl.BlockSpec((r, s), lambda i, b: (0, 0))
-        in_specs = [pl.BlockSpec((1, c8, HW), ex)]
+        in_specs = [pl.BlockSpec((1, c8, RHW), ex)]
         for _ in range(2):
             in_specs += [const2(mid, 9 * c8), const2(mid, mid),
                          const2(9 * c8, mid),
@@ -1310,20 +1516,21 @@ def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
             num_scalar_prefetch=1,
             grid=(Bl,),
             in_specs=in_specs,
-            out_specs=[pl.BlockSpec((1, c8, HW), ex),
-                       pl.BlockSpec((1, c8, HW), ex),
+            out_specs=[pl.BlockSpec((1, c8, RHW), ex),
+                       pl.BlockSpec((1, c8, RHW), ex),
                        pl.BlockSpec((1, 8, 128), ex)],
         )
         kernel = functools.partial(
-            _solve_kernel, H=H, W=W, c8=c8, mid=mid, threshold=int(threshold),
+            _solve_kernel, H=H, W=W, reps=reps, c8=c8, mid=mid,
+            threshold=int(threshold),
             eps_i=eps_i, stall_patience=stall_patience, stall_rtol=stall_rtol,
             preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
             warm_start=bool(warm_start), mode=mode)
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((Bl, c8, HW), jnp.float32),
-                       jax.ShapeDtypeStruct((Bl, c8, HW), jnp.float32),
+            out_shape=[jax.ShapeDtypeStruct((Bl, c8, RHW), jnp.float32),
+                       jax.ShapeDtypeStruct((Bl, c8, RHW), jnp.float32),
                        jax.ShapeDtypeStruct((Bl, 8, 128), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
@@ -1333,8 +1540,8 @@ def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
     z_p, g_p, diag = _maybe_shard(_call, n_batch_leading=1, n_rep_leading=1,
                                   n_out=3)(betas, xp, *mats_x, *mats_z)
 
-    unpad = lambda a: a[:, :c].reshape(B, c, H, W)
-    diag = diag[:, :, 0]
+    unpad = lambda a: unpack_reps(a, reps)[:, :c].reshape(B, c, H, W)
+    diag = _unpack_diag(diag, reps)
     return FusedSolveResult(
         result=unpad(z_p), gx=unpad(g_p),
         nstep=diag[:, 0].astype(jnp.int32),
@@ -1342,3 +1549,12 @@ def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
         prot_break=diag[:, 2] > 0.5,
         converged=diag[:, 1] > 0.5,
     )
+
+
+def _unpack_diag(diag, reps):
+    """(Bg, 8, 128) diag tiles -> (B, 8) per-example rows (lane b of row r is
+    example ``g*reps + b``'s quantity when packed; lane 0 when reps == 1)."""
+    if reps == 1:
+        return diag[:, :, 0]
+    Bg = diag.shape[0]
+    return diag[:, :, :reps].transpose(0, 2, 1).reshape(Bg * reps, 8)

@@ -187,7 +187,7 @@ def neumann_logdet_estimator(apply_fn, params, x, vareps, coeffs, n_power,
 def neumann_logdet_pair_fused(apply_x, params_x, x, vareps_x,
                               apply_z, params_z, z, vareps_z,
                               chain_x, chain_z, coeffs, n_power,
-                              interpret=False):
+                              interpret=False, reps=1):
     """Both nets' Neumann estimates with the stop-gradient chains fused into
     ONE Pallas kernel (``ops.fused_chain``) — semantics identical to two
     :func:`neumann_logdet_estimator` calls (same signed coefficients, same
@@ -206,21 +206,25 @@ def neumann_logdet_pair_fused(apply_x, params_x, x, vareps_x,
 
     acc_x, acc_z = neumann_pair_accs(x, vareps_x, z, vareps_z, chain_x,
                                      chain_z, coeffs, n_power,
-                                     interpret=interpret)
+                                     interpret=interpret, reps=reps)
     return (neumann_final(apply_x, params_x, x, vareps_x, acc_x),
             neumann_final(apply_z, params_z, z, vareps_z, acc_z))
 
 
 def neumann_pair_accs(x, vareps_x, z, vareps_z, chain_x, chain_z, coeffs,
-                      n_power, interpret=False):
+                      n_power, interpret=False, reps=1):
     """Both nets' stop-gradient Neumann accumulations via the fused chain
     kernel (``ops.fused_chain``), returned in the inputs' (B, c, H, W)
-    shape (f32). Feed to :func:`neumann_final` / the fused final kernel."""
+    shape (f32). Feed to :func:`neumann_final` / the fused final kernel.
+    ``reps`` lane-packs that many examples per kernel program (small spatial
+    dims; see ``fused_chain.pack_reps``)."""
     from .fused_chain import (
         conv1x1_transpose_mat,
         conv3_transpose_mats,
         conv3_transpose_mats_cout,
         fused_neumann_chain2,
+        pack_reps,
+        unpack_reps,
     )
 
     B, c, H, W = x.shape
@@ -233,15 +237,16 @@ def neumann_pair_accs(x, vareps_x, z, vareps_z, chain_x, chain_z, coeffs,
         s0, s1, s2, w1, w2, w3 = [jax.lax.stop_gradient(a) for a in data]
         eps = jax.lax.stop_gradient(eps)
         pad = lambda a: jnp.pad(a, ((0, 0), (0, c8 - c), (0, 0), (0, 0)))
-        flat = lambda a: a.reshape(a.shape[0], a.shape[1], H * W)
+        flat = lambda a: pack_reps(
+            a.reshape(a.shape[0], a.shape[1], H * W), reps)
         return (flat(pad(eps)), flat(pad(s0)), flat(s1), flat(s2),
                 conv3_transpose_mats(w3, c8), conv1x1_transpose_mat(w2),
                 conv3_transpose_mats_cout(w1, c8))
 
     acc_x, acc_z = fused_neumann_chain2(
         prep(vareps_x, chain_x), prep(vareps_z, chain_z), signed, n_power,
-        H=H, W=W, interpret=interpret)
-    unpad = lambda a: a[:, :c].reshape(B, c, H, W)
+        H=H, W=W, reps=reps, interpret=interpret)
+    unpad = lambda a: unpack_reps(a, reps)[:, :c].reshape(B, c, H, W)
     return unpad(acc_x), unpad(acc_z)
 
 
