@@ -1,0 +1,186 @@
+"""Central kernel-path configuration.
+
+Every performance knob that gates a kernel path (Pallas fused solve /
+estimator chain / re-attachment VJP, solver matmul precision, warm start,
+solver budgets) lives in one frozen dataclass instead of scattered
+``os.environ`` reads. Resolution order:
+
+1. an explicit override installed with :func:`set_kernel_config` (drivers
+   expose ``--kernel-config key=val,...`` and call this once at startup);
+2. otherwise the ``IMNF_*`` environment variables (one per field, listed in
+   each field's comment) — kept for quick experiments and the test suite;
+3. otherwise the measured-default values below (the fastest known-correct
+   configuration on TPU v5e, NOTES_ROUND1.md).
+
+The reference has no analogue (no config system at all — SURVEY.md §5
+"Config / flag system"); these knobs configure machinery the reference
+doesn't have.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, fields, replace
+
+
+@dataclass(frozen=True)
+class KernelConfig:
+    # --- numerics ---------------------------------------------------------
+    # XLA dot/conv precision inside fixed-point solves (the root is pinned
+    # by the eps criterion, not the iteration precision):
+    # "float32" | "tensorfloat32" | "bfloat16".            [IMNF_SOLVER_PRECISION]
+    solver_precision: str = "tensorfloat32"
+    # backward implicit-gradient solve precision: "f32" | "bf16". [IMNF_BWD_PRECISION]
+    bwd_precision: str = "bf16"
+    # re-attachment (differentiable primal) precision: "f32" | "bf16" | "tf32".
+    #                                                     [IMNF_REATTACH_PRECISION]
+    reattach_precision: str = "bf16"
+    # run the Neumann estimator chains in bfloat16.              [IMNF_BF16_EST]
+    bf16_est: bool = True
+
+    # --- Pallas kernel gates ---------------------------------------------
+    # fused forward/inverse Broyden solve kernel: "0" (XLA while_loop),
+    # "1" (Pallas on TPU), "interpret" (CPU interpreter, tests). [IMNF_FUSED_SOLVE]
+    fused_solve: str = "1"
+    # engage the fused solve only at H*W >= this (8x8 scales stay XLA
+    # unless lane-packing applies).                      [IMNF_FUSED_SOLVE_MIN_HW]
+    fused_solve_min_hw: int = 256
+    # fused backward implicit-gradient solve kernel.             [IMNF_FUSED_BWD]
+    fused_bwd: str = "1"
+    # fused re-attachment fwd+VJP kernel.                   [IMNF_FUSED_REATTACH]
+    fused_reattach: str = "1"
+    # fused Neumann estimator chain kernel.                    [IMNF_FUSED_CHAIN]
+    fused_chain: str = "1"
+    # fused estimator-final VJP pair kernel.                   [IMNF_FUSED_FINAL]
+    fused_final: str = "1"
+    # estimator-chain kernels engage at H*W >= this.          [IMNF_FUSED_MIN_HW]
+    fused_min_hw: int = 256
+    # merged solve+estimator mega-kernel (measured SLOWER on v5e; known
+    # prot-break estimator deviation — see implicit_block.py): "0" | "1" |
+    # "interpret".                                             [IMNF_FUSED_BLOCK]
+    fused_block: str = "0"
+    # lane-packing target for batch-tiled small-scale kernels.
+    #                                                    [IMNF_FUSED_PACK_LANES]
+    fused_pack_lanes: int = 256
+    # experimental Pallas rank-1 Broyden update inside the XLA solver
+    # (measured ~7x slower than XLA's fusion at CIFAR shapes).   [IMNF_PALLAS]
+    pallas_broyden: bool = False
+    # estimator final-term form: "vjp" | "dots".              [IMNF_FINAL_FORM]
+    final_form: str = "vjp"
+
+    # --- solver budgets / behavior ---------------------------------------
+    # warm-start the forward solve from the previous root.    [IMNF_WARM_START]
+    warm_start: bool = True
+    # override the forward / backward Broyden iteration budgets
+    # (None = the block's constructor arguments).  [IMNF_FWD_THRESHOLD / _BWD_]
+    fwd_threshold: int | None = None
+    bwd_threshold: int | None = None
+
+    # --- diagnostics ------------------------------------------------------
+    # print per-solve diagnostics from inside the step.     [IMNF_DEBUG_SOLVER]
+    debug_solver: bool = False
+    # ablation switch for step profiling: "" | "reattach" | "final" | ...
+    #                                                             [IMNF_ABLATE]
+    ablate: str = ""
+    # donate step buffers to jit (fails on the axon tunnel runtime).
+    #                                                             [IMNF_DONATE]
+    donate: bool = False
+
+
+_ENV_BY_FIELD = {
+    "solver_precision": "IMNF_SOLVER_PRECISION",
+    "bwd_precision": "IMNF_BWD_PRECISION",
+    "reattach_precision": "IMNF_REATTACH_PRECISION",
+    "bf16_est": "IMNF_BF16_EST",
+    "fused_solve": "IMNF_FUSED_SOLVE",
+    "fused_solve_min_hw": "IMNF_FUSED_SOLVE_MIN_HW",
+    "fused_bwd": "IMNF_FUSED_BWD",
+    "fused_reattach": "IMNF_FUSED_REATTACH",
+    "fused_chain": "IMNF_FUSED_CHAIN",
+    "fused_final": "IMNF_FUSED_FINAL",
+    "fused_min_hw": "IMNF_FUSED_MIN_HW",
+    "fused_block": "IMNF_FUSED_BLOCK",
+    "fused_pack_lanes": "IMNF_FUSED_PACK_LANES",
+    "pallas_broyden": "IMNF_PALLAS",
+    "final_form": "IMNF_FINAL_FORM",
+    "warm_start": "IMNF_WARM_START",
+    "fwd_threshold": "IMNF_FWD_THRESHOLD",
+    "bwd_threshold": "IMNF_BWD_THRESHOLD",
+    "debug_solver": "IMNF_DEBUG_SOLVER",
+    "ablate": "IMNF_ABLATE",
+    "donate": "IMNF_DONATE",
+}
+
+_OPTIONAL_INT = {"fwd_threshold", "bwd_threshold"}
+
+
+def _coerce(field_type, name, raw):
+    if name in _OPTIONAL_INT:
+        return int(raw)
+    if field_type == "bool":
+        return raw not in ("0", "", "false", "False")
+    if field_type == "int":
+        return int(raw)
+    return raw
+
+
+def from_env() -> KernelConfig:
+    """KernelConfig with IMNF_* environment overrides applied."""
+    kwargs = {}
+    for f in fields(KernelConfig):
+        raw = os.environ.get(_ENV_BY_FIELD[f.name])
+        if raw is not None:
+            kwargs[f.name] = _coerce(f.type if isinstance(f.type, str) else
+                                     f.type.__name__, f.name, raw)
+    return KernelConfig(**kwargs)
+
+
+_override: KernelConfig | None = None
+
+
+def set_kernel_config(cfg: KernelConfig | None) -> None:
+    """Install a process-wide config (drivers call this once at startup;
+    None removes the override and falls back to env resolution)."""
+    global _override
+    _override = cfg
+
+
+def kernel_config() -> KernelConfig:
+    """The active config: the driver-installed override, else env-resolved.
+    Called at trace time only (jit call sites), so per-call env reads are
+    free at execution time."""
+    return _override if _override is not None else from_env()
+
+
+def parse_overrides(spec: str) -> KernelConfig:
+    """Parse a driver ``--kernel-config "key=val,key=val"`` string into a
+    KernelConfig on top of the env-resolved base. Unknown keys raise."""
+    cfg = from_env()
+    if not spec:
+        return cfg
+    valid = {f.name: f for f in fields(KernelConfig)}
+    updates = {}
+    for item in spec.split(","):
+        k, _, v = item.partition("=")
+        k = k.strip()
+        if k not in valid:
+            raise ValueError(
+                f"unknown kernel-config key {k!r}; valid: {sorted(valid)}")
+        t = valid[k].type if isinstance(valid[k].type, str) else valid[k].type.__name__
+        updates[k] = _coerce(t, k, v.strip())
+    return replace(cfg, **updates)
+
+
+def add_kernel_config_flag(parser) -> None:
+    """--kernel-config flag for the drivers; main() should call
+    apply_kernel_config_flag(args)."""
+    names = ", ".join(f.name for f in fields(KernelConfig))
+    parser.add_argument(
+        "--kernel-config", type=str, default=None,
+        help="comma-separated key=val kernel-path overrides (pinned for the "
+             f"whole run; otherwise IMNF_* env vars apply). Keys: {names}")
+
+
+def apply_kernel_config_flag(args) -> None:
+    spec = getattr(args, "kernel_config", None)
+    if spec:
+        set_kernel_config(parse_overrides(spec))

@@ -32,6 +32,7 @@ backprop-in-forward ``MemoryEfficientLogDetEstimator`` (``:373-415``) — same
 memory/compute trade, expressed to the XLA scheduler.
 """
 from __future__ import annotations
+from ..config import kernel_config
 
 import math
 import os
@@ -97,7 +98,7 @@ def _sg(tree):
 
 
 def _fused_solve_mode():
-    prec = os.environ.get("IMNF_SOLVER_PRECISION", "tensorfloat32")
+    prec = kernel_config().solver_precision
     return "f32" if prec in ("float32", "highest") else "tf32"
 
 
@@ -115,7 +116,7 @@ def _fused_solve_data(nnet_a, nnet_b, va, vb, x):
     (data_a, data_b, interpret, reps) when both nets match the conv-stack
     pattern and the device/shape gates pass, else None. IMNF_FUSED_SOLVE=0
     disables, =interpret forces the interpreter path for CPU tests."""
-    mode = os.environ.get("IMNF_FUSED_SOLVE", "1")
+    mode = kernel_config().fused_solve
     if mode == "0" or x.ndim != 4:
         return None
     interp = mode == "interpret"
@@ -123,8 +124,7 @@ def _fused_solve_data(nnet_a, nnet_b, va, vb, x):
     if not interp:
         if jax.devices()[0].platform != "tpu":
             return None
-        if reps * x.shape[2] * x.shape[3] < int(
-                os.environ.get("IMNF_FUSED_SOLVE_MIN_HW", "256")):
+        if reps * x.shape[2] * x.shape[3] < kernel_config().fused_solve_min_hw:
             return None
     get_a = getattr(nnet_a, "conv_forward_data", None)
     get_b = getattr(nnet_b, "conv_forward_data", None)
@@ -162,7 +162,7 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
 
         def with_fb(args):
             zb, gb = args
-            prec = os.environ.get("IMNF_SOLVER_PRECISION", "tensorfloat32")
+            prec = kernel_config().solver_precision
             with jax.default_matmul_precision(prec):
                 x_embed = flat(apply_x(_sg(vx), xs)) + flat(xs)
                 bg = lambda zf: x_embed - flat(apply_z(_sg(vz), unflat(zf)))
@@ -198,7 +198,7 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
         # slow linear crawl that burns the whole 30-iteration budget; at
         # raised precision the solve converges in ~4-5 iterations, which is
         # cheaper even at 3x per-eval cost.
-        prec = os.environ.get("IMNF_SOLVER_PRECISION", "tensorfloat32")
+        prec = kernel_config().solver_precision
         with jax.default_matmul_precision(prec):
             x_embed = flat(apply_x(vx, x)) + flat(x)
             g = lambda zf: x_embed - flat(apply_z(vz, unflat(zf))) - zf
@@ -267,7 +267,7 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
         # solve's f32 state and the final re-attachment VJP are unaffected);
         # measured bpd identical with an 8% step cut. IMNF_BF16_BWD=0 restores
         # f32.
-        bwd_mode = os.environ.get("IMNF_BWD_PRECISION", "bf16")
+        bwd_mode = kernel_config().bwd_precision
         if bwd_mode == "bf16":
             vz_bf = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16) if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
@@ -278,14 +278,13 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
         # iterations instead of being re-streamed per VJP application.
         # IMNF_FUSED_BWD=0 disables, =interpret for CPU tests.
         u = None
-        fused_bwd = os.environ.get("IMNF_FUSED_BWD", "1")
+        fused_bwd = kernel_config().fused_bwd
         if fused_bwd != "0" and x.ndim == 4 and bwd_mode in ("bf16", "f32"):
             interp = fused_bwd == "interpret"
             reps = _pack_reps_for(x)
             dev_ok = interp or (
                 jax.devices()[0].platform == "tpu"
-                and reps * x.shape[2] * x.shape[3] >= int(
-                    os.environ.get("IMNF_FUSED_SOLVE_MIN_HW", "256")))
+                and reps * x.shape[2] * x.shape[3] >= kernel_config().fused_solve_min_hw)
             get_cd = getattr(nnet_z, "conv_chain_data", None)
             if dev_ok and get_cd:
                 z_sg = jax.lax.stop_gradient(z)
@@ -315,7 +314,7 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
                     threshold=cfg.threshold_backward, eps=cfg.eps_backward,
                     stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
                 )
-            if os.environ.get("IMNF_DEBUG_SOLVER") == "1":
+            if kernel_config().debug_solver:
                 jax.debug.print(
                     "bwd solve: nstep={n} best={b:.3e} eps={e:.3e}",
                     n=ures.nstep, b=jnp.max(ures.diff), e=ures.eps[0])
@@ -323,7 +322,7 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
 
         # Timing-attribution ablation (WRONG gradients — perf experiments
         # only): skip the re-attachment VJP entirely.
-        if os.environ.get("IMNF_ABLATE") == "reattach":
+        if kernel_config().ablate == "reattach":
             return (jax.tree.map(jnp.zeros_like, vars_x),
                     jax.tree.map(jnp.zeros_like, vars_z), u)
 
@@ -333,14 +332,13 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
         # soft-normalization pullback (effective weight <- raw weight) stays
         # on the XLA path, via jax.vjp of conv_forward_data.
         # IMNF_FUSED_REATTACH=0 disables, =interpret for CPU tests.
-        fused_re = os.environ.get("IMNF_FUSED_REATTACH", "1")
+        fused_re = kernel_config().fused_reattach
         if fused_re != "0" and x.ndim == 4:
             interp = fused_re == "interpret"
             reps = _pack_reps_for(x)
             dev_ok = interp or (
                 jax.devices()[0].platform == "tpu"
-                and reps * x.shape[2] * x.shape[3] >= int(
-                    os.environ.get("IMNF_FUSED_SOLVE_MIN_HW", "256")))
+                and reps * x.shape[2] * x.shape[3] >= kernel_config().fused_solve_min_hw)
             get_x = getattr(nnet_x, "conv_forward_data", None)
             get_z = getattr(nnet_z, "conv_forward_data", None)
             if dev_ok and get_x and get_z:
@@ -358,7 +356,7 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
                     (ax_, az_), vjp_data = jax.vjp(fwd_data, vars_x, vars_z)
                     data_x = dict(ax_, preact=probe_x["preact"])
                     data_z = dict(az_, preact=probe_z["preact"])
-                    mode = os.environ.get("IMNF_REATTACH_PRECISION", "bf16")
+                    mode = kernel_config().reattach_precision
                     d_x, d_ax, d_az = fused_reattach_vjp(
                         jax.lax.stop_gradient(x), z_hat, u, data_x, data_z,
                         mode=mode, interpret=interp, reps=reps)
@@ -404,7 +402,7 @@ def _make_implicit_forward_est(nnet_x, nnet_z, cfg: SolverConfig):
         data_x = nnet_x.conv_forward_data(vx)
         data_z = nnet_z.conv_forward_data(vz)
         xs = jax.lax.stop_gradient(x)
-        interp = os.environ.get("IMNF_FUSED_BLOCK", "0") == "interpret"
+        interp = kernel_config().fused_block == "interpret"
         res, acc_x, acc_z = fused_block_forward(
             xs, data_x, data_z,
             jax.lax.stop_gradient(eps_x), jax.lax.stop_gradient(eps_z),
@@ -420,7 +418,7 @@ def _make_implicit_forward_est(nnet_x, nnet_z, cfg: SolverConfig):
 
         def with_fb(args):
             zb, gb, ax, az = args
-            prec = os.environ.get("IMNF_SOLVER_PRECISION", "tensorfloat32")
+            prec = kernel_config().solver_precision
             with jax.default_matmul_precision(prec):
                 x_embed = flat(apply_x(vx, xs)) + flat(xs)
                 bg = lambda zf: x_embed - flat(apply_z(vz, unflat(zf)))
@@ -513,11 +511,13 @@ class ImplicitBlock(Flow):
             eps_forward=eps_forward,
             eps_backward=eps_backward,
             eps_sample=eps_sample,
-            threshold=int(os.environ.get("IMNF_FWD_THRESHOLD", threshold)),
-            threshold_backward=int(os.environ.get("IMNF_BWD_THRESHOLD",
-                                                  min(4, threshold))),
-            warm_start=(warm_start
-                        or os.environ.get("IMNF_WARM_START", "1") != "0"),
+            threshold=(kernel_config().fwd_threshold
+                       if kernel_config().fwd_threshold is not None
+                       else threshold),
+            threshold_backward=(kernel_config().bwd_threshold
+                                if kernel_config().bwd_threshold is not None
+                                else min(4, threshold)),
+            warm_start=(warm_start or kernel_config().warm_start),
         )
         self._implicit_forward = _make_implicit_forward(
             self.nnet_x, self.nnet_z, self.solver_cfg
@@ -574,14 +574,13 @@ class ImplicitBlock(Flow):
                 and cfg.n_probes <= 1 and not cfg.exact_trace
                 and not cfg.brute_force):
             return False
-        env = os.environ.get("IMNF_FUSED_BLOCK", "0")
+        env = kernel_config().fused_block
         if env == "0":
             return False
         if env != "interpret":
             if jax.devices()[0].platform != "tpu":
                 return False
-            if x.shape[2] * x.shape[3] < int(
-                    os.environ.get("IMNF_FUSED_SOLVE_MIN_HW", "256")):
+            if x.shape[2] * x.shape[3] < kernel_config().fused_solve_min_hw:
                 return False
         get_x = getattr(self.nnet_x, "conv_forward_data", None)
         get_z = getattr(self.nnet_z, "conv_forward_data", None)
@@ -612,7 +611,7 @@ class ImplicitBlock(Flow):
             vx, vz, x, vareps_x, vareps_z, signed,
             n_power.astype(jnp.float32))
 
-        bf16_est = os.environ.get("IMNF_BF16_EST", "1") != "0"
+        bf16_est = kernel_config().bf16_est
 
         def _cast(tree, dtype):
             return jax.tree.map(
@@ -668,7 +667,7 @@ class ImplicitBlock(Flow):
                 return x, None
             logdet, _ = self._logdetgrad(variables, z, x, rng, train=False)
             return x, logpz + logdet
-        prec = os.environ.get("IMNF_SOLVER_PRECISION", "tensorfloat32")
+        prec = kernel_config().solver_precision
         with jax.default_matmul_precision(prec):
             z_embed = flat(self.nnet_z.apply(vz, z)) + flat(z)
             g = lambda xf: z_embed - flat(self.nnet_x.apply(vx, unflat(xf))) - xf
@@ -705,7 +704,7 @@ class ImplicitBlock(Flow):
         unflat = lambda a: a.reshape(z.shape)
 
         def with_fb(xb):
-            prec = os.environ.get("IMNF_SOLVER_PRECISION", "tensorfloat32")
+            prec = kernel_config().solver_precision
             with jax.default_matmul_precision(prec):
                 z_embed = flat(self.nnet_z.apply(vz, z)) + flat(z)
                 bg = lambda xf: z_embed - flat(self.nnet_x.apply(vx, unflat(xf)))
@@ -773,7 +772,7 @@ class ImplicitBlock(Flow):
         # rounding noise is second-order. The basic estimator (true-NLL
         # logging and eval, README.md:33) stays f32. IMNF_BF16_EST=0 restores
         # full f32 everywhere.
-        bf16_est = neumann and os.environ.get("IMNF_BF16_EST", "1") != "0"
+        bf16_est = neumann and kernel_config().bf16_est
 
         def _cast(tree, dtype):
             return jax.tree.map(
@@ -816,14 +815,13 @@ class ImplicitBlock(Flow):
         # 256-gate 598, 64-gate 581 samples/s -> 8x8 stays on XLA);
         # IMNF_FUSED_CHAIN=0 disables, =interpret forces the interpreter
         # path for CPU tests.
-        fused_mode = os.environ.get("IMNF_FUSED_CHAIN", "1")
+        fused_mode = kernel_config().fused_chain
         if (neumann and fused_mode != "0" and cfg.n_probes <= 1
                 and not (train and cfg.grad_in_forward) and x.ndim == 4):
             interp = fused_mode == "interpret"
             on_tpu = jax.devices()[0].platform == "tpu"
             reps = _pack_reps_for(x)
-            big_enough = reps * x.shape[2] * x.shape[3] >= int(
-                os.environ.get("IMNF_FUSED_MIN_HW", "256"))
+            big_enough = reps * x.shape[2] * x.shape[3] >= kernel_config().fused_min_hw
             get_cd_x = getattr(self.nnet_x, "conv_chain_data", None)
             get_cd_z = getattr(self.nnet_z, "conv_chain_data", None)
             if (interp or (on_tpu and big_enough)) and get_cd_x and get_cd_z:
@@ -841,7 +839,7 @@ class ImplicitBlock(Flow):
                     # Fused differentiable final term (second-order Pallas
                     # backward, ops.fused_solve.fused_final_pair);
                     # IMNF_FUSED_FINAL=0 falls back to the XLA jax.vjp final.
-                    ff = os.environ.get("IMNF_FUSED_FINAL", "1")
+                    ff = kernel_config().fused_final
                     fd_x = fd_z = None
                     if ff != "0":
                         gfx = getattr(self.nnet_x, "conv_forward_data", None)

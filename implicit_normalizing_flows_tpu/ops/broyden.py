@@ -32,6 +32,7 @@ Design differences from the reference (deliberate, TPU-first — SURVEY.md §7):
   (reference reruns the whole batch: ``implicit_block.py:74-75``).
 """
 from __future__ import annotations
+from ..config import kernel_config
 
 import os
 from typing import Callable, NamedTuple
@@ -147,7 +148,7 @@ def broyden(
     # XLA path remains the portable default.
     use_fused = False
     fused_interpret = False
-    if os.environ.get("IMNF_PALLAS") == "1":
+    if kernel_config().pallas_broyden:
         from .pallas_kernels import fused_update_supported
 
         use_fused = fused_update_supported(bsz, total, threshold)

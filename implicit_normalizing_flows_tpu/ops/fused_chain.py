@@ -30,6 +30,7 @@ traced trip count); only float reassociation differs. Anything that doesn't
 match the stack pattern falls back to the XLA path.
 """
 from __future__ import annotations
+from ..config import kernel_config
 
 import functools
 
@@ -91,7 +92,7 @@ def choose_reps(B, H, W):
     if B % ndata:
         return 1
     b_local = B // ndata
-    target = int(os.environ.get("IMNF_FUSED_PACK_LANES", "256"))
+    target = kernel_config().fused_pack_lanes
     r = max(1, min(b_local, target // (H * W)))
     while b_local % r:
         r -= 1

@@ -32,6 +32,7 @@ TPU-first differences:
   the same activation-memory/compute trade under XLA.
 """
 from __future__ import annotations
+from ..config import kernel_config
 
 from dataclasses import dataclass
 from typing import Callable
@@ -252,7 +253,7 @@ def neumann_pair_accs(x, vareps_x, z, vareps_z, chain_x, chain_z, coeffs,
 
 def _final_form():
     import os
-    return os.environ.get("IMNF_FINAL_FORM", "vjp")
+    return kernel_config().final_form
 
 
 def neumann_final(apply_fn, params, y, eps, acc):
@@ -262,7 +263,7 @@ def neumann_final(apply_fn, params, y, eps, acc):
     computes the equal-value ``<acc, J eps>`` instead (different AD plan)."""
     import os
     acc = acc.astype(y.dtype)
-    if os.environ.get("IMNF_ABLATE") == "final":
+    if kernel_config().ablate == "final":
         # Timing-attribution ablation (WRONG estimator/gradients — perf
         # experiments only): skip the differentiable VJP.
         return _batch_dot(acc, eps)

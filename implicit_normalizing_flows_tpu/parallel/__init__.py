@@ -8,3 +8,13 @@ from .mesh import (  # noqa: F401
     replicated,
     tp_sharding,
 )
+from .multihost import (  # noqa: F401
+    add_distributed_flags,
+    init_distributed,
+    is_main,
+    local_shard,
+    process_count,
+    process_index,
+    setup_distributed,
+    sync,
+)

@@ -46,8 +46,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _place_sharded(mesh: Mesh, x, sharding: NamedSharding, axis: int):
+    """device_put single-process; assemble a global array from this
+    process's local shard when the mesh spans multiple processes (the
+    caller passes ONLY its local rows — multihost.local_shard)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    global_shape = list(x.shape)
+    global_shape[axis] = x.shape[axis] * jax.process_count()
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(x), tuple(global_shape))
+
+
 def place_batch(mesh: Mesh, x):
-    return jax.device_put(x, batch_sharding(mesh, x.ndim))
+    return _place_sharded(mesh, x, batch_sharding(mesh, x.ndim), 0)
 
 
 def place_replicated(mesh: Mesh, tree):
@@ -82,29 +94,54 @@ def constrain_probe_axis(arr):
 
 def place_batch_axis(mesh: Mesh, x, axis: int = 0):
     """Shard one chosen axis over 'data' (e.g. axis=1 for the stacked
-    (accum, B, ...) microbatch layout of gradient accumulation)."""
+    (accum, B, ...) microbatch layout of gradient accumulation). Multi-
+    process: x is this process's local shard along that axis."""
     spec = [None] * x.ndim
     spec[axis] = "data"
-    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return _place_sharded(mesh, x, NamedSharding(mesh, P(*spec)), axis)
 
 
 def tp_sharding(mesh: Mesh, tree, channel_size: int):
-    """Tensor-parallel shardings for a params/state pytree: the first array
-    dim equal to ``channel_size`` (the Lipschitz nets' intermediate_dim /
-    idim) shards over 'model'; everything else replicates. GSPMD propagates
-    through the convs/denses and inserts the all-reduces — no reference
-    analogue (the reference's only parallelism is DataParallel)."""
+    """Tensor-parallel shardings for a params/state pytree, by param path.
 
-    def spec(a):
+    Only arrays inside the Lipschitz nets (path contains ``nnet_x``/
+    ``nnet_z``/``nnet`` — the imBlock/iResBlock conv/dense stacks whose
+    hidden width is ``channel_size`` = idim) are sharded over 'model':
+
+    * conv/dense ``weight`` (out, in, ...): out-channels (dim 0) when
+      ``out == channel_size`` (column-parallel hidden layers), else
+      in-channels (dim 1) when ``in == channel_size`` (row-parallel final
+      projection);
+    * 1-D vectors (bias, power-iteration u/v) of length ``channel_size``:
+      dim 0, following the activation sharding.
+
+    Everything else — actnorm scales, classifier heads, coincidentally
+    idim-sized tensors outside the nets — replicates, which the previous
+    dim-size-only heuristic got wrong. GSPMD propagates the shardings
+    through the convs/power-iteration/estimator and inserts the
+    all-reduces. No reference analogue (the reference's only parallelism is
+    DataParallel)."""
+    from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+    leaves, treedef = tree_flatten_with_path(tree)
+
+    def spec(path, a):
         shape = getattr(a, "shape", ())
+        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        in_net = any(k in ("nnet_x", "nnet_z", "nnet") for k in keys)
+        if not in_net or not shape:
+            return NamedSharding(mesh, P())
         dims = [None] * len(shape)
-        for i, d in enumerate(shape):
-            if d == channel_size:
-                dims[i] = "model"
-                break
+        if len(shape) >= 2:
+            if shape[0] == channel_size:
+                dims[0] = "model"
+            elif shape[1] == channel_size:
+                dims[1] = "model"
+        elif shape[0] == channel_size:
+            dims[0] = "model"
         return NamedSharding(mesh, P(*dims))
 
-    return jax.tree.map(spec, tree)
+    return tree_unflatten(treedef, [spec(p, a) for p, a in leaves])
 
 
 def place_tp(mesh: Mesh, tree, channel_size: int):

@@ -17,7 +17,8 @@ def _donate_args(nums):
     tunnel in this image reports platform 'tpu' but fails donated executions
     with InvalidArgument. Set IMNF_DONATE=1 on real TPU runtimes to update
     params/opt-state in place."""
-    return nums if os.environ.get("IMNF_DONATE") == "1" else ()
+    from ..config import kernel_config
+    return nums if kernel_config().donate else ()
 
 def _under_mesh(jitted, mesh):
     """Invoke the jitted step under the ambient mesh (jax.sharding.set_mesh)
@@ -67,6 +68,33 @@ def solver_stats(state):
         "broyden_nstep": jnp.mean(d[:, 0]),
         "broyden_converged": jnp.mean(d[:, 1]),
         "broyden_prot_break": jnp.max(d[:, 2]),
+    }
+
+
+def estimator_stats(state):
+    """Aggregate the log-det estimator's first/second moments stored by each
+    implicit/iRes block (state['last_firmom'/'last_secmom']) into step
+    metrics — the reference logs these at print-freq as its estimator-health
+    monitor (train_img.py:557-564)."""
+    fir, sec = [], []
+
+    def visit(s):
+        if isinstance(s, dict):
+            if "last_firmom" in s:
+                fir.append(jnp.reshape(s["last_firmom"], (-1,)))
+                sec.append(jnp.reshape(s["last_secmom"], (-1,)))
+            for v in s.values():
+                visit(v)
+        elif isinstance(s, (list, tuple)):
+            for v in s:
+                visit(v)
+
+    visit(state)
+    if not fir:
+        return {}
+    return {
+        "est_firmom": jnp.mean(jnp.concatenate(fir)),
+        "est_secmom": jnp.mean(jnp.concatenate(sec)),
     }
 
 
@@ -122,6 +150,7 @@ def make_density_train_step(model, optimizer, *, n_lipschitz_iters=None,
             "grad_norm": optax.global_norm(grads),
         }
         metrics.update(solver_stats(new_state))
+        metrics.update(estimator_stats(new_state))
         return params, new_state, opt_state, ema_shadow, metrics
 
     if mesh is not None:
@@ -242,20 +271,31 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
             logpz = standard_normal_logprob(z)
             # bits/dim constants (train_img.py:541-549)
             logpx = logpz - beta * delta_logp - math.log(nvals) * dim_total - logpu
-            bpd = -jnp.mean(logpx) / dim_data / math.log(2)
+            bpd_vec = -logpx / dim_data / math.log(2)
+            bpd = jnp.mean(bpd_vec)
             metrics["bpd"] = bpd
             metrics["logpz"] = jnp.mean(logpz)
             metrics["delta_logp"] = jnp.mean(-delta_logp)
+            if not train:
+                # Per-example bpd so the driver can evaluate EVERY test
+                # example (ragged tail batches padded + masked on the host;
+                # the reference evaluates the full test set,
+                # train_img.py:697-737).
+                metrics["bpd_vec"] = bpd_vec
 
         if task == "density":
             loss = bpd
         else:
-            ce = jnp.mean(
-                -jnp.sum(jax.nn.log_softmax(logits) * jax.nn.one_hot(y, logits.shape[1]), axis=1)
-            )
-            acc = jnp.mean((jnp.argmax(logits, axis=1) == y).astype(jnp.float32))
+            ce_vec = -jnp.sum(
+                jax.nn.log_softmax(logits) * jax.nn.one_hot(y, logits.shape[1]), axis=1)
+            correct_vec = (jnp.argmax(logits, axis=1) == y).astype(jnp.float32)
+            ce = jnp.mean(ce_vec)
+            acc = jnp.mean(correct_vec)
             metrics["ce"] = ce
             metrics["acc"] = acc
+            if not train:
+                metrics["ce_vec"] = ce_vec
+                metrics["correct_vec"] = correct_vec
             if task == "classification":
                 loss = ce
             elif scale_dim:  # --scale-dim True keeps the per-dim bpd scale
@@ -311,6 +351,7 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
             params, new_state = v["params"], v["state"]
             ema_shadow = ema_apply(ema_shadow, params, ema_decay)
             metrics.update(solver_stats(new_state))
+            metrics.update(estimator_stats(new_state))
             return params, new_state, new_opt_state, ema_shadow, metrics
         step = train_step
 
@@ -331,8 +372,12 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
         # placement (None), so the same step serves replicated (pure DP,
         # place_replicated) and tensor-parallel (place_tp) parameters.
         if optimizer is None:
+            # out_shardings replicated: the per-example eval vectors must be
+            # fully addressable on every process (multi-host eval reads them
+            # with np.asarray)
             return _under_mesh(
-                jax.jit(step, in_shardings=(None, None, xs, ys, rep)), mesh)
+                jax.jit(step, in_shardings=(None, None, xs, ys, rep),
+                        out_shardings=rep), mesh)
         return _under_mesh(
             jax.jit(step, in_shardings=(None, None, None, None, xs, ys, rep, rep),
                     donate_argnums=_donate_args((0, 1, 2, 3))), mesh)

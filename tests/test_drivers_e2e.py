@@ -51,3 +51,42 @@ runpy.run_path("qualitative_samples.py", run_name="__main__")
     r2 = _run(code2)
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert os.path.exists(out)
+
+
+@pytest.mark.slow
+def test_train_then_sample_iresnet(tmp_path):
+    """Legacy ResidualFlow family: 2 train steps of --arch iresnet on images,
+    then sample from the checkpoint (reference qualitative_samples.py:428-474
+    renders ResidualFlow checkpoints)."""
+    save = str(tmp_path / "exp_ires")
+    code = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys
+sys.argv = ["train_img.py", "--data", "cifar10", "--synthetic-data", "True",
+            "--arch", "iresnet", "--actnorm", "True", "--nblocks", "1-1",
+            "--idim", "16", "--act", "swish", "--kernels", "3-1-3",
+            "--vnorms", "2222", "--fc-end", "False", "--preact", "True",
+            "--coeff", "0.9", "--n-exact-terms", "2", "--imagesize", "8",
+            "--batchsize", "8", "--val-batchsize", "8", "--nepochs", "1",
+            "--max-iters-per-epoch", "2", "--save", {save!r},
+            "--print-freq", "1", "--seed", "0", "--vis-freq", "0"]
+import runpy
+runpy.run_path("train_img.py", run_name="__main__")
+"""
+    r = _run(code)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(save, "most_recent.pkl"))
+
+    out = str(tmp_path / "samples_ires.png")
+    code2 = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys
+sys.argv = ["qualitative_samples.py", "--ckpt", {os.path.join(save, 'most_recent.pkl')!r},
+            "--out", {out!r}, "--nsamples", "4", "--nrow", "2",
+            "--temperature", "0.7"]
+import runpy
+runpy.run_path("qualitative_samples.py", run_name="__main__")
+"""
+    r2 = _run(code2)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert os.path.exists(out)

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from implicit_normalizing_flows_tpu.ops.fused_chain import (
+
     conv1x1_transpose_mat,
     conv3_transpose_mats,
     conv3_transpose_mats_cout,
@@ -177,3 +178,6 @@ def test_fused_chain2_matches_two_singles():
                              H=H, W=W, interpret=True)
     np.testing.assert_allclose(np.asarray(ax), np.asarray(sx), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(az), np.asarray(sz), rtol=1e-5)
+
+# CPU Pallas interpreter: minutes per file; excluded from the fast CI subset
+pytestmark = [pytest.mark.slow, pytest.mark.kernels]

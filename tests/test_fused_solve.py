@@ -14,6 +14,7 @@ from implicit_normalizing_flows_tpu.layers.implicit_block import ImplicitBlock
 from implicit_normalizing_flows_tpu.models.implicit_flow import build_conv_net
 
 
+
 def _make_block(preact=True, first_resblock=False, warm_start=False):
     def make_net():
         return build_conv_net(
@@ -304,3 +305,6 @@ def test_fused_solve_tf32_mode_close(monkeypatch):
     z_tf32, _, _ = block.forward(variables, x)
     np.testing.assert_allclose(np.asarray(z_tf32), np.asarray(z_f32),
                                rtol=5e-3, atol=5e-3)
+
+# CPU Pallas interpreter: minutes per file; excluded from the fast CI subset
+pytestmark = [pytest.mark.slow, pytest.mark.kernels]

@@ -130,3 +130,45 @@ def test_jit_init_and_init_with_batch(tiny_model):
     v2 = jax.jit(model.init_with_batch)(v1, x, rng=jax.random.PRNGKey(43))
     z, delta, _ = model.forward(v2, x, jnp.zeros((x.shape[0],)), rng=jax.random.PRNGKey(44))
     assert np.isfinite(np.asarray(delta)).all()
+
+
+def test_eval_per_example_metrics_ragged_tail(tiny_model):
+    """Full-test-set eval: per-example bpd/ce vectors let the driver pad a
+    ragged tail batch and mask the padding, so changing the padding content
+    must not change the real examples' metrics (reference evaluates every
+    test example, train_img.py:697-737)."""
+    model, v, x = tiny_model
+    params, state = v["params"], v["state"]
+    eval_step = make_image_step(model, None, im_dim=3, imagesize=8,
+                                task="hybrid", train=False)
+    rng = np.random.RandomState(0)
+    ny = 2  # real examples; the rest of the batch is padding
+    real = rng.randint(0, 256, size=(ny,) + x.shape[1:], dtype=np.uint8)
+    y_real = rng.randint(0, 10, size=(ny,)).astype(np.int64)
+
+    def run(pad_fill):
+        pad = np.full((x.shape[0] - ny,) + x.shape[1:], pad_fill, np.uint8)
+        xb = np.concatenate([real, pad])
+        yb = np.concatenate([y_real, np.zeros((x.shape[0] - ny,), np.int64)])
+        m = eval_step(params, state, jnp.asarray(xb), jnp.asarray(yb),
+                      jax.random.PRNGKey(9))
+        return (np.asarray(m["bpd_vec"]), np.asarray(m["ce_vec"]),
+                np.asarray(m["correct_vec"]))
+
+    bpd_a, ce_a, cor_a = run(0)
+    bpd_b, ce_b, cor_b = run(255)
+    assert bpd_a.shape == (x.shape[0],)
+    np.testing.assert_allclose(bpd_a[:ny], bpd_b[:ny], rtol=1e-6)
+    np.testing.assert_allclose(ce_a[:ny], ce_b[:ny], rtol=1e-6)
+    np.testing.assert_array_equal(cor_a[:ny], cor_b[:ny])
+    # padding rows differ, proving the vectors really are per-example
+    assert not np.allclose(bpd_a[ny:], bpd_b[ny:])
+
+
+def test_image_data_batches_ragged_tail():
+    from implicit_normalizing_flows_tpu.data.images import ImageData
+    x = np.arange(10 * 3 * 4 * 4, dtype=np.uint8).reshape(10, 3, 4, 4)
+    d = ImageData("t", x)
+    sizes = [len(b[0]) for b in d.batches(4, None, shuffle=False, drop_last=False)]
+    assert sizes == [4, 4, 2]
+    assert sum(sizes) == len(d)

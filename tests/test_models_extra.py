@@ -43,6 +43,7 @@ def test_coupling_stack_roundtrip():
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-3)
 
 
+@pytest.mark.slow  # >90s on CPU; excluded from the fast CI subset
 def test_implicit_resnet_classifier():
     from implicit_normalizing_flows_tpu.models.classification import ImplicitResNet
 

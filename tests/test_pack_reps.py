@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from implicit_normalizing_flows_tpu.ops.fused_chain import (
+
     choose_reps,
     pack_reps,
     unpack_reps,
@@ -206,3 +207,6 @@ def test_fused_final_pair_reps_parity(reps):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-5, atol=5e-5)
+
+# CPU Pallas interpreter: minutes per file; excluded from the fast CI subset
+pytestmark = [pytest.mark.slow, pytest.mark.kernels]

@@ -78,6 +78,7 @@ def test_probe_axis_sharding_is_numerically_inert(monkeypatch):
     np.testing.assert_allclose(np.asarray(f1), np.asarray(fN), atol=2e-5)
 
 
+@pytest.mark.slow  # >90s on CPU; excluded from the fast CI subset
 def test_tensor_parallel_matches_replicated(monkeypatch):
     """data x model mesh: Lipschitz-net channel dims sharded over 'model'
     (place_tp) must reproduce the unsharded single-program step — same loss,
@@ -122,3 +123,50 @@ def test_tensor_parallel_matches_replicated(monkeypatch):
     l1 = jax.flatten_util.ravel_pytree(jax.tree.map(np.asarray, p1))[0]
     lT = jax.flatten_util.ravel_pytree(jax.tree.map(np.asarray, pT))[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(lT), atol=2e-5)
+
+
+def test_tp_sharding_path_rules():
+    """tp_sharding shards ONLY the Lipschitz nets' tensors: hidden conv
+    weights column-parallel (dim 0), final projection row-parallel (dim 1),
+    idim-length net vectors on dim 0 — and replicates everything else even
+    when it is coincidentally idim-sized (e.g. actnorm scales when
+    idim == channel count), which the old dim-size-only heuristic
+    mis-sharded."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _build
+    from implicit_normalizing_flows_tpu.parallel.mesh import tp_sharding
+    from jax.sharding import PartitionSpec as P
+    from jax.tree_util import tree_flatten_with_path, keystr
+
+    idim = 12  # == channel count at scale 2 (3 * 4 after squeeze): trap for
+               # the old heuristic — actnorm scales there are (12,) too
+    model = _build([1, 1], idim, 8, 4, n_exact_terms=1, n_lip_iters=1)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 3, 8, 8),
+                           minval=0.05, maxval=0.95)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    mesh = make_mesh(n_data=4, n_model=2)
+    shardings = tp_sharding(mesh, variables["params"], idim)
+
+    flat_p = dict((keystr(p), a) for p, a in
+                  tree_flatten_with_path(variables["params"])[0])
+    flat_s = dict((keystr(p), s) for p, s in
+                  tree_flatten_with_path(shardings)[0])
+    checked_col = checked_row = checked_trap = 0
+    for k, a in flat_p.items():
+        spec = flat_s[k].spec
+        in_net = "nnet_x" in k or "nnet_z" in k
+        if not in_net:
+            assert spec == P(), (k, spec)  # replicated, even (12,) actnorm
+            if a.ndim == 1 and a.shape[0] == idim:
+                checked_trap += 1
+            continue
+        if a.ndim >= 2 and a.shape[0] == idim:
+            assert spec[0] == "model", (k, spec)
+            checked_col += 1
+        elif a.ndim >= 2 and a.shape[1] == idim:
+            assert spec[1] == "model", (k, spec)
+            checked_row += 1
+        elif a.ndim == 1 and a.shape[0] == idim:
+            assert spec[0] == "model", (k, spec)
+    assert checked_col > 0 and checked_row > 0 and checked_trap > 0

@@ -4,6 +4,7 @@ The reference unrolls all ``n_blocks`` imBlocks per scale through autograd
 (implicit_flow.py:64-97); ScanRepeat stacks their variables and scans, which
 must be *exactly* the loop it replaces: same math, same per-slice RNG folds.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,6 +66,7 @@ def test_scanrepeat_roundtrip():
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x0), atol=5e-3)
 
 
+@pytest.mark.slow  # >90s on CPU; excluded from the fast CI subset
 def test_scanrepeat_gradients_match_loop(monkeypatch):
     # f32 estimator: bf16 (the TPU default) reassociates differently under
     # scan vs unrolled, so exact agreement is an f32 property.
@@ -98,6 +100,7 @@ def test_scanrepeat_gradients_match_loop(monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # >90s on CPU; excluded from the fast CI subset
 def test_flagship_scan_blocks_trains():
     """ImplicitFlow(scan_blocks=True) runs a full train step and stays
     finite; update_lipschitz keeps the stacked structure."""

@@ -22,10 +22,19 @@ from implicit_normalizing_flows_tpu.data.images import (
     random_flip,
 )
 from implicit_normalizing_flows_tpu.layers.protocol import make_vars
+from implicit_normalizing_flows_tpu.config import (
+    add_kernel_config_flag,
+    apply_kernel_config_flag,
+)
 from implicit_normalizing_flows_tpu.parallel import (
+    add_distributed_flags,
+    is_main,
+    local_shard,
     make_mesh,
     place_batch,
     place_replicated,
+    setup_distributed,
+    sync,
 )
 from implicit_normalizing_flows_tpu.parallel.mesh import batch_sharding, replicated
 from implicit_normalizing_flows_tpu.models.classification import ImplicitResNet18, ResNet18
@@ -56,6 +65,8 @@ def parse_args(argv=None):
     p.add_argument("--rcrop-pad-mode", type=str, default="reflect")
     p.add_argument("--synthetic-data", type=eval, choices=[True, False], default=False)
     p.add_argument("--max-iters-per-epoch", type=int, default=None)
+    add_distributed_flags(p)
+    add_kernel_config_flag(p)
     return p.parse_args(argv)
 
 
@@ -78,8 +89,13 @@ def load_cifar100(dataroot, train, synthetic_fallback):
 
 def main(argv=None):
     args = parse_args(argv)
+    apply_kernel_config_flag(args)
+    n_proc = setup_distributed(args)  # before anything queries jax.devices()
     makedirs(args.model_dir)
     logger = get_logger(os.path.join(args.model_dir, "logs"), os.path.abspath(__file__))
+    if not is_main():
+        import logging as _logging
+        logger.setLevel(_logging.WARNING)
     logger.info(args)
 
     np_rng = np.random.RandomState(args.seed)
@@ -118,15 +134,20 @@ def main(argv=None):
     # Data parallelism (reference: nn.DataParallel): batch over 'data',
     # params replicated; the summed-CE gradient all-reduces by construction.
     n_dev = args.ndevices if args.ndevices is not None else len(jax.devices())
+    if n_proc > 1:
+        n_dev = len(jax.devices())  # multi-host always uses the global mesh
     mesh = None
     if n_dev > 1:
         if args.batch_size % n_dev:
             raise SystemExit(f"--batch_size ({args.batch_size}) must be divisible "
                              f"by the device count ({n_dev}); pass --ndevices.")
         mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
-        logger.info(f"Data-parallel Mesh over {n_dev} devices")
+        logger.info(f"Data-parallel Mesh over {n_dev} devices"
+                    + (f" across {n_proc} processes" if n_proc > 1 else ""))
         params, state, opt_state, shadow = (
             place_replicated(mesh, t) for t in (params, state, opt_state, shadow))
+    elif n_proc > 1:
+        raise SystemExit("multi-host training requires a device mesh (>1 device)")
 
     def loss_fn(params, state, x, y, rng):
         logits = model.apply(make_vars(params, state), x, rng=rng, train=True)
@@ -210,20 +231,29 @@ def main(argv=None):
                 x_u8 = random_flip(x_u8, np_rng)
                 x_u8 = random_crop(x_u8, np_rng, 4, args.rcrop_pad_mode)
             key, sub = jax.random.split(key)
-            xb, yb = jnp.asarray(np.ascontiguousarray(x_u8)), jnp.asarray(y)
             if mesh is not None:
-                xb, yb = place_batch(mesh, xb), place_batch(mesh, yb)
+                xb = place_batch(mesh, local_shard(np.ascontiguousarray(x_u8)))
+                yb = place_batch(mesh, local_shard(y))
+            else:
+                xb, yb = jnp.asarray(np.ascontiguousarray(x_u8)), jnp.asarray(y)
+            if n_proc > 1:
+                sub = place_replicated(mesh, sub)
             params, state, opt_state, shadow, ce, acc = train_step(
                 params, state, opt_state, shadow, xb, yb, sub)
             lag.push((ce, acc), epoch=epoch, i=i)
         lag.flush()
 
         pending = []
-        for x_u8, y in test_data.batches(args.test_batch_size, None, shuffle=False):
+        # drop_last=False: the ragged tail batch is evaluated too (sums, not
+        # means, accumulate) so every test example counts exactly once.
+        for x_u8, y in test_data.batches(args.test_batch_size, None, shuffle=False,
+                                         drop_last=False):
             key, sub = jax.random.split(key)
-            xe, ye = jnp.asarray(x_u8), jnp.asarray(y)
+            xe, ye = np.asarray(x_u8), np.asarray(y)
             if mesh is not None:
                 xe, ye = place_replicated(mesh, xe), place_replicated(mesh, ye)
+            if n_proc > 1:
+                sub = place_replicated(mesh, sub)
             pending.append((eval_step(shadow, state, xe, ye, sub), len(y)))
             if args.max_iters_per_epoch and len(pending) >= args.max_iters_per_epoch:
                 break

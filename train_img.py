@@ -29,10 +29,20 @@ from implicit_normalizing_flows_tpu.data.images import (
 from implicit_normalizing_flows_tpu.layers import LogitTransform, Normalize
 from implicit_normalizing_flows_tpu.layers.protocol import make_vars
 from implicit_normalizing_flows_tpu.models import ImplicitFlow
+from implicit_normalizing_flows_tpu.config import (
+    add_kernel_config_flag,
+    apply_kernel_config_flag,
+)
 from implicit_normalizing_flows_tpu.parallel import (
+    add_distributed_flags,
+    is_main,
+    local_shard,
     make_mesh,
     place_batch_axis,
     place_replicated,
+    process_index,
+    setup_distributed,
+    sync,
 )
 from implicit_normalizing_flows_tpu.training import (
     adam,
@@ -109,6 +119,12 @@ def parse_args(argv=None):
     p.add_argument("--ndevices", type=int, default=None,
                    help="data-parallel over the first N local devices "
                         "(default: all; 1 disables the mesh)")
+    add_distributed_flags(p)
+    add_kernel_config_flag(p)
+    p.add_argument("--arch", type=str, choices=["implicit", "iresnet", "realnvp"],
+                   default="implicit",
+                   help="implicit: imBlock flow; iresnet: legacy Residual Flow "
+                        "(explicit iResBlocks, resflow.py:18); realnvp: coupling baseline")
     p.add_argument("--task", type=str, choices=["density", "classification", "hybrid"], default="density")
     p.add_argument("--scale-dim", type=eval, choices=[True, False], default=False)
     p.add_argument("--rcrop-pad-mode", type=str, choices=["constant", "reflect"], default="reflect")
@@ -163,6 +179,47 @@ def build_model(args, im_dim, n_classes, init_layer, batchsize):
     size = args.imagesize // 2 if args.squeeze_first else args.imagesize
     c = (im_dim + args.padding) * (4 if args.squeeze_first else 1)
     input_size = (batchsize, c, size, size)
+    arch = getattr(args, "arch", "implicit")
+    if arch in ("iresnet", "realnvp"):
+        # Legacy Residual Flow / RealNVP model families
+        # (reference resflow.py:18,487; sampled by qualitative_samples.py).
+        from implicit_normalizing_flows_tpu.models.resflow import build_residual_flow
+        model = build_residual_flow(
+            input_size,
+            block_type="resblock" if arch == "iresnet" else "coupling",
+            n_blocks=list(map(int, args.nblocks.split("-"))),
+            intermediate_dim=args.idim,
+            factor_out=args.factor_out,
+            quadratic=args.quadratic,
+            init_layer=init_layer,
+            actnorm=args.actnorm,
+            fc_actnorm=args.fc_actnorm,
+            batchnorm=args.batchnorm,
+            dropout=args.dropout,
+            fc=args.fc,
+            coeff=args.coeff,
+            vnorms=args.vnorms,
+            n_lipschitz_iters=args.n_lipschitz_iters,
+            sn_atol=args.sn_tol,
+            sn_rtol=args.sn_tol,
+            n_power_series=args.n_power_series,
+            n_dist=args.n_dist,
+            n_samples=args.n_samples,
+            kernels=args.kernels,
+            activation_fn=args.act,
+            fc_end=args.fc_end,
+            fc_idim=args.fc_idim,
+            n_exact_terms=args.n_exact_terms,
+            preact=args.preact,
+            neumann_grad=args.neumann_grad,
+            grad_in_forward=args.mem_eff,
+            first_resblock=args.first_resblock,
+            learn_p=args.learn_p,
+            classification=args.task in ("classification", "hybrid"),
+            classification_hdim=args.cdim,
+            n_classes=n_classes,
+        )
+        return model, input_size
     model = ImplicitFlow(
         input_size=input_size,
         n_blocks=list(map(int, args.nblocks.split("-"))),
@@ -231,17 +288,31 @@ def visualize(model, variables, x_u8, nvals, padding, save_dir, tag, key,
 
 def main(argv=None):
     args = parse_args(argv)
+    # Multi-host bootstrap FIRST (before anything queries jax.devices()):
+    # after this, jax.devices() is the global device list and every process
+    # runs the identical SPMD program (no reference analogue — the
+    # reference's only parallelism is single-process DataParallel).
     if args.seed is None:
         args.seed = np.random.randint(100000)
+    apply_kernel_config_flag(args)
+    n_proc = setup_distributed(args)
     makedirs(args.save)
-    logger = get_logger(os.path.join(args.save, "logs"), os.path.abspath(__file__))
+    log_path = os.path.join(
+        args.save, "logs" if is_main() else f"logs.p{process_index()}")
+    logger = get_logger(log_path, os.path.abspath(__file__))
+    if not is_main():
+        import logging as _logging
+        logger.setLevel(_logging.WARNING)
     logger.info(args)
     logger.info(f"JAX devices: {jax.devices()}")
 
     # Data parallelism (the reference's nn.DataParallel, train_img.py:203-204,
-    # redesigned): one Mesh over the local devices, batch sharded on 'data',
-    # params replicated, gradient all-reduce over ICI by construction.
+    # redesigned): one Mesh over ALL devices — local in single-process mode,
+    # global across hosts under jax.distributed — batch sharded on 'data',
+    # params replicated, gradient all-reduce over ICI/DCN by construction.
     n_dev = args.ndevices if args.ndevices is not None else len(jax.devices())
+    if n_proc > 1:
+        n_dev = len(jax.devices())  # multi-host always uses the global mesh
     mesh = None
     if n_dev > 1:
         micro = args.batchsize // max(args.update_freq, 1)
@@ -251,7 +322,10 @@ def main(argv=None):
                 f"--val-batchsize ({args.val_batchsize}) must be divisible by "
                 f"the device count ({n_dev}); pass --ndevices to use fewer.")
         mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
-        logger.info(f"Data-parallel Mesh over {n_dev} devices")
+        logger.info(f"Data-parallel Mesh over {n_dev} devices"
+                    + (f" across {n_proc} processes" if n_proc > 1 else ""))
+    elif n_proc > 1:
+        raise SystemExit("multi-host training requires a device mesh (>1 device)")
 
     np_rng = np.random.RandomState(args.seed)
     key = jax.random.PRNGKey(args.seed)
@@ -354,6 +428,10 @@ def main(argv=None):
             if "broyden_nstep" in m:
                 s += (f" | BroydenIters {float(m['broyden_nstep']):.1f}"
                       f" | Converged {float(m['broyden_converged']):.2f}")
+            if "est_firmom" in m:
+                # estimator first/second moments (train_img.py:557-564)
+                s += (f" | EstMoment {float(m['est_firmom']):.2f}"
+                      f"({float(m['est_secmom']):.2f})")
             logger.info(s)
 
     lag = LaggedMetrics(consume_metrics)
@@ -378,16 +456,26 @@ def main(argv=None):
                 mb = len(xb) // args.update_freq * args.update_freq
                 xb = xb[:mb].reshape(args.update_freq, -1, *xb.shape[1:])
                 yb = yb[:mb].reshape(args.update_freq, -1)
-            xb, yb = jnp.asarray(xb), jnp.asarray(yb)
             if mesh is not None:
                 b_ax = 1 if args.update_freq > 1 else 0
+                # multi-host: every process computed the same global batch
+                # (shared seed); each feeds only its contiguous shard
+                xb, yb = local_shard(xb, b_ax), local_shard(yb, b_ax)
                 xb, yb = place_batch_axis(mesh, xb, b_ax), place_batch_axis(mesh, yb, b_ax)
+            else:
+                xb, yb = jnp.asarray(xb), jnp.asarray(yb)
+            sub_r, beta_r = sub, jnp.asarray(beta)
+            if n_proc > 1:
+                # scalars/keys must be global (replicated) arrays under a
+                # multi-process mesh
+                sub_r, beta_r = place_replicated(mesh, sub_r), place_replicated(mesh, beta_r)
             params, state, opt_state, shadow, m = train_step(
-                params, state, opt_state, shadow, xb, yb, sub, jnp.asarray(beta)
+                params, state, opt_state, shadow, xb, yb, sub_r, beta_r
             )
             global_itr += 1
             lag.push(m, epoch=epoch, i=i)
-            if args.vis_freq and global_itr % args.vis_freq == 0 and args.task != "classification":
+            if (args.vis_freq and global_itr % args.vis_freq == 0
+                    and args.task != "classification" and n_proc == 1):
                 try:
                     visualize(model, make_vars(params, state), x_u8, nvals,
                               args.padding, args.save, f"e{epoch:03d}i{i:05d}", sub)
@@ -396,40 +484,73 @@ def main(argv=None):
 
         lag.flush()
 
+        # Per-epoch Lipschitz health monitor (train_img.py:774-783,829-832):
+        # every constrained layer's current sigma, plus the learned p-orders
+        # when --learn-p.
+        try:
+            sigmas = [float(s) for s in
+                      model.lipschitz_sigmas(make_vars(params, state))]
+            if sigmas:
+                logger.info("Lipschitz constants: ["
+                            + ", ".join(f"{s:.4f}" for s in sigmas) + "]")
+            if args.learn_p:
+                ords = [float(o) for o in model.ords(make_vars(params, state))]
+                logger.info("Order: [" + ", ".join(f"{o:.4f}" for o in ords) + "]")
+        except Exception as e:
+            logger.info(f"lipschitz logging failed: {e}")
+
         # validation with EMA weights (train_img.py:702-737); batch metrics
         # stay device-resident until after the last dispatch (async eval)
         eval_params = shadow if args.ema_val else params
         val_bpd, val_ce, val_correct, val_total = 0.0, 0.0, 0, 0
         pending = []
-        for x_u8, y in test_data.batches(args.val_batchsize, None, shuffle=False):
+        # Full test set: keep ragged tail batches (drop_last=False) but pad
+        # them back to val_batchsize for the fixed-shape jitted step, masking
+        # the padding on the host — every test example is counted exactly
+        # once (reference evaluates the whole set, train_img.py:697-737).
+        for x_u8, y in test_data.batches(args.val_batchsize, None, shuffle=False,
+                                         drop_last=False):
+            ny = len(y)
+            if ny < args.val_batchsize:
+                pad = args.val_batchsize - ny
+                x_u8 = np.concatenate([x_u8, np.repeat(x_u8[-1:], pad, axis=0)])
+                y = np.concatenate([y, np.repeat(y[-1:], pad, axis=0)])
             key, sub = jax.random.split(key)
-            xv, yv = jnp.asarray(x_u8), jnp.asarray(y)
             if mesh is not None:
+                xv, yv = local_shard(x_u8, 0), local_shard(y, 0)
                 xv, yv = place_batch_axis(mesh, xv, 0), place_batch_axis(mesh, yv, 0)
-            pending.append((eval_step(eval_params, state, xv, yv, sub), len(y)))
+            else:
+                xv, yv = jnp.asarray(x_u8), jnp.asarray(y)
+            if n_proc > 1:
+                sub = place_replicated(mesh, sub)
+            pending.append((eval_step(eval_params, state, xv, yv, sub), ny))
             if args.max_iters_per_epoch and len(pending) >= args.max_iters_per_epoch:
                 break
-        nb = len(pending)
         for m, ny in pending:
             if args.task in ("density", "hybrid"):
-                val_bpd += float(m["bpd"])
+                val_bpd += float(np.sum(np.asarray(m["bpd_vec"])[:ny]))
             if args.task in ("classification", "hybrid"):
-                val_ce += float(m["ce"])
-                val_correct += float(m["acc"]) * ny
-                val_total += ny
-        val_bpd /= max(nb, 1)
-        s = f"Epoch {epoch} | Test bits/dim {val_bpd:.4f}"
-        if val_total:
-            s += f" | CE {val_ce / nb:.4f} | Acc {100 * val_correct / val_total:.2f}"
+                val_ce += float(np.sum(np.asarray(m["ce_vec"])[:ny]))
+                val_correct += float(np.sum(np.asarray(m["correct_vec"])[:ny]))
+            val_total += ny
+        val_bpd /= max(val_total, 1)
+        s = f"Epoch {epoch} | Test bits/dim {val_bpd:.4f} ({val_total} examples)"
+        if args.task in ("classification", "hybrid") and val_total:
+            s += (f" | CE {val_ce / val_total:.4f}"
+                  f" | Acc {100 * val_correct / val_total:.2f}")
         logger.info(s)
 
-        ckpt = {"args": vars(args), "params": params, "state": state,
-                "ema": shadow, "opt_state": opt_state, "epoch": epoch,
-                "test_bpd": val_bpd}
-        if args.task in ("density", "hybrid") and val_bpd < best_test_bpd:
-            best_test_bpd = val_bpd
-            save_checkpoint(ckpt, args.save, epoch, last_checkpoints, 5)
-        save_most_recent(ckpt, args.save)
+        # checkpoint writes are process-0-only; the barrier orders the write
+        # before any process could resume from it
+        if is_main():
+            ckpt = {"args": vars(args), "params": params, "state": state,
+                    "ema": shadow, "opt_state": opt_state, "epoch": epoch,
+                    "test_bpd": val_bpd}
+            if args.task in ("density", "hybrid") and val_bpd < best_test_bpd:
+                best_test_bpd = val_bpd
+                save_checkpoint(ckpt, args.save, epoch, last_checkpoints, 5)
+            save_most_recent(ckpt, args.save)
+        sync("epoch_ckpt")
 
     logger.info("Training has finished.")
     return params, state

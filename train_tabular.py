@@ -19,7 +19,16 @@ import jax.numpy as jnp
 
 from implicit_normalizing_flows_tpu.data.tabular import batch_iterator, get_tabular_datasets
 from implicit_normalizing_flows_tpu.models import build_tabular_model
+from implicit_normalizing_flows_tpu.config import (
+    add_kernel_config_flag,
+    apply_kernel_config_flag,
+)
 from implicit_normalizing_flows_tpu.parallel import (
+    add_distributed_flags,
+    is_main,
+    local_shard,
+    setup_distributed,
+    sync,
     make_mesh,
     place_batch,
     place_replicated,
@@ -80,13 +89,20 @@ def parse_args(argv=None):
                    help="data-parallel over the first N local devices "
                         "(default: all; 1 disables the mesh)")
     p.add_argument("--max-iters-per-epoch", type=int, default=None)
+    add_distributed_flags(p)
+    add_kernel_config_flag(p)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    apply_kernel_config_flag(args)
+    n_proc = setup_distributed(args)  # before anything queries jax.devices()
     makedirs(args.save)
     logger = get_logger(os.path.join(args.save, "logs"), os.path.abspath(__file__))
+    if not is_main():
+        import logging as _logging
+        logger.setLevel(_logging.WARNING)
     logger.info(args)
 
     np_rng = np.random.RandomState(args.seed)
@@ -130,15 +146,20 @@ def main(argv=None):
     # mesh axis, params replicated. Eval batches can be ragged
     # (drop_last=False), so eval inputs are replicated instead of sharded.
     n_dev = args.ndevices if args.ndevices is not None else len(jax.devices())
+    if n_proc > 1:
+        n_dev = len(jax.devices())  # multi-host always uses the global mesh
     mesh = None
     if n_dev > 1:
         if args.batchsize % n_dev:
             raise SystemExit(f"--batchsize ({args.batchsize}) must be divisible "
                              f"by the device count ({n_dev}); pass --ndevices.")
         mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
-        logger.info(f"Data-parallel Mesh over {n_dev} devices")
+        logger.info(f"Data-parallel Mesh over {n_dev} devices"
+                    + (f" across {n_proc} processes" if n_proc > 1 else ""))
         params, state, opt_state, shadow = (
             place_replicated(mesh, t) for t in (params, state, opt_state, shadow))
+    elif n_proc > 1:
+        raise SystemExit("multi-host training requires a device mesh (>1 device)")
 
     train_step = make_density_train_step(model, optimizer, mesh=mesh,
                                          n_lipschitz_iters=args.n_lipschitz_iters)
@@ -159,10 +180,14 @@ def main(argv=None):
         meters["logpz"].update(float(m["logpz"]))
         meters["delta"].update(float(m["delta_logp"]))
         if i % args.print_freq == 0:
-            logger.info(
-                f"Epoch [{epoch}][{i}] | Time {meters['time'].val:.3f} | "
-                f"NLL {meters['nll'].val:.4f}({meters['nll'].avg:.4f}) | "
-                f"Logpz {meters['logpz'].avg:.2f} | -DeltaLogp {meters['delta'].avg:.2f}")
+            s = (f"Epoch [{epoch}][{i}] | Time {meters['time'].val:.3f} | "
+                 f"NLL {meters['nll'].val:.4f}({meters['nll'].avg:.4f}) | "
+                 f"Logpz {meters['logpz'].avg:.2f} | -DeltaLogp {meters['delta'].avg:.2f}")
+            if "est_firmom" in m:
+                # estimator moments (reference train_img.py:557-564 analog)
+                s += (f" | EstMoment {float(m['est_firmom']):.2f}"
+                      f"({float(m['est_secmom']):.2f})")
+            logger.info(s)
 
     lag = LaggedMetrics(consume_metrics)
 
@@ -175,12 +200,24 @@ def main(argv=None):
                 break
             beta = min(1.0, global_itr / args.annealing_iters) if args.annealing_iters > 0 else 1.0
             key, sub = jax.random.split(key)
-            xb = place_batch(mesh, jnp.asarray(xb)) if mesh is not None else jnp.asarray(xb)
+            xb = (place_batch(mesh, local_shard(np.asarray(xb)))
+                  if mesh is not None else jnp.asarray(xb))
+            sub_r, beta_r = sub, jnp.asarray(beta)
+            if n_proc > 1:
+                sub_r, beta_r = place_replicated(mesh, sub_r), place_replicated(mesh, beta_r)
             params, state, opt_state, shadow, m = train_step(
-                params, state, opt_state, shadow, xb, sub, jnp.asarray(beta))
+                params, state, opt_state, shadow, xb, sub_r, beta_r)
             global_itr += 1
             lag.push(m, epoch=epoch, i=i)
         lag.flush()
+
+        # Lipschitz health monitor (reference train_img.py:774-783 analog)
+        from implicit_normalizing_flows_tpu.layers.protocol import make_vars
+        sigmas = [float(s) for s in
+                  model.lipschitz_sigmas(make_vars(params, state))]
+        if sigmas:
+            logger.info("Lipschitz constants: ["
+                        + ", ".join(f"{s:.4f}" for s in sigmas) + "]")
 
         # validate with EMA params on the validation split (async: metrics
         # materialised after the last dispatch)
@@ -188,6 +225,8 @@ def main(argv=None):
         for xb in batch_iterator(valid_x, args.val_batchsize, np_rng, shuffle=False, drop_last=False):
             key, sub = jax.random.split(key)
             xe = place_replicated(mesh, jnp.asarray(xb)) if mesh is not None else jnp.asarray(xb)
+            if n_proc > 1:
+                sub = place_replicated(mesh, sub)
             pending.append((eval_step(shadow, state, xe, sub)[0], len(xb)))
         val_nll = sum(float(l) * n for l, n in pending)
         nb = sum(n for _, n in pending)
@@ -199,12 +238,16 @@ def main(argv=None):
             for xb in batch_iterator(test_x, args.val_batchsize, np_rng, shuffle=False, drop_last=False):
                 key, sub = jax.random.split(key)
                 xe = place_replicated(mesh, jnp.asarray(xb)) if mesh is not None else jnp.asarray(xb)
+                if n_proc > 1:
+                    sub = place_replicated(mesh, sub)
                 loss, _, _ = eval_step(shadow, state, xe, sub)
                 test_nll += float(loss) * len(xb)
                 nb += len(xb)
             logger.info(f"Epoch {epoch} | Test NLL {test_nll / max(nb, 1):.4f} (best val)")
-            save_most_recent({"args": vars(args), "params": params, "state": state,
-                              "ema": shadow, "val_nll": val_nll}, args.save)
+            if is_main():
+                save_most_recent({"args": vars(args), "params": params, "state": state,
+                                  "ema": shadow, "val_nll": val_nll}, args.save)
+            sync("tabular_ckpt")
 
     logger.info("Training has finished.")
     return params, state

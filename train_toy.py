@@ -19,10 +19,19 @@ import jax.numpy as jnp
 
 from implicit_normalizing_flows_tpu.data import inf_train_gen
 from implicit_normalizing_flows_tpu.models import build_toy_model
+from implicit_normalizing_flows_tpu.config import (
+    add_kernel_config_flag,
+    apply_kernel_config_flag,
+)
 from implicit_normalizing_flows_tpu.parallel import (
+    add_distributed_flags,
+    is_main,
+    local_shard,
     make_mesh,
     place_batch,
     place_replicated,
+    setup_distributed,
+    sync,
 )
 from implicit_normalizing_flows_tpu.parallel.mesh import replicated
 from implicit_normalizing_flows_tpu.training import (
@@ -83,13 +92,20 @@ def parse_args():
     parser.add_argument("--ndevices", type=int, default=None,
                         help="data-parallel over the first N local devices "
                              "(default: all; 1 disables the mesh)")
+    add_distributed_flags(parser)
+    add_kernel_config_flag(parser)
     return parser.parse_args()
 
 
 def main():
     args = parse_args()
+    apply_kernel_config_flag(args)
+    n_proc = setup_distributed(args)  # before anything queries jax.devices()
     makedirs(args.save)
     logger = get_logger(os.path.join(args.save, "logs"), os.path.abspath(__file__))
+    if not is_main():
+        import logging as _logging
+        logger.setLevel(_logging.WARNING)
     logger.info(args)
 
     np_rng = np.random.RandomState(args.seed)
@@ -126,15 +142,20 @@ def main():
     shadow = ema_init(params)
 
     n_dev = args.ndevices if args.ndevices is not None else len(jax.devices())
+    if n_proc > 1:
+        n_dev = len(jax.devices())  # multi-host always uses the global mesh
     mesh = None
     if n_dev > 1:
         if args.batch_size % n_dev:
             raise SystemExit(f"--batch_size ({args.batch_size}) must be divisible "
                              f"by the device count ({n_dev}); pass --ndevices.")
         mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
-        logger.info(f"Data-parallel Mesh over {n_dev} devices")
+        logger.info(f"Data-parallel Mesh over {n_dev} devices"
+                    + (f" across {n_proc} processes" if n_proc > 1 else ""))
         params, state, opt_state, shadow = (
             place_replicated(mesh, t) for t in (params, state, opt_state, shadow))
+    elif n_proc > 1:
+        raise SystemExit("multi-host training requires a device mesh (>1 device)")
 
     train_step = make_density_train_step(model, optimizer, mesh=mesh,
                                          n_lipschitz_iters=args.n_lipschitz_iters,
@@ -173,12 +194,19 @@ def main():
     best_loss = float("inf")
     for itr in range(1, args.niters + 1):
         beta = min(1.0, itr / args.annealing_iters) if args.annealing_iters > 0 else 1.0
-        x = jnp.asarray(inf_train_gen(args.data, args.batch_size, np_rng))
+        x = inf_train_gen(args.data, args.batch_size, np_rng)
         if mesh is not None:
-            x = place_batch(mesh, x)
+            # multi-host: same generator draw everywhere, each process feeds
+            # its contiguous shard
+            x = place_batch(mesh, local_shard(np.asarray(x)))
+        else:
+            x = jnp.asarray(x)
         key, sub = jax.random.split(key)
+        sub_r, beta_r = sub, jnp.asarray(beta)
+        if n_proc > 1:
+            sub_r, beta_r = place_replicated(mesh, sub_r), place_replicated(mesh, beta_r)
         params, state, opt_state, shadow, metrics = train_step(
-            params, state, opt_state, shadow, x, sub, jnp.asarray(beta)
+            params, state, opt_state, shadow, x, sub_r, beta_r
         )
         lag.push(metrics, itr=itr)
 
@@ -191,20 +219,34 @@ def main():
             key, sub = jax.random.split(key)
             if mesh is not None:
                 x_test = place_replicated(mesh, x_test)
+            if n_proc > 1:
+                sub = place_replicated(mesh, sub)
             test_loss, test_logpz, test_delta = eval_step(params, state, x_test, sub)
             logger.info(
                 "[TEST] Iter {:04d} | Test Loss {:.6f} | Test Logp(z) {:.6f}"
                 " | Test DeltaLogp {:.6f}".format(
                     itr, float(test_loss), float(test_logpz), float(test_delta))
             )
+            # Lipschitz health monitor (reference train_img.py:774-783 analog)
+            sigmas = [float(s) for s in
+                      model.lipschitz_sigmas(make_vars(params, state))]
+            if sigmas:
+                logger.info("Lipschitz constants: ["
+                            + ", ".join(f"{s:.4f}" for s in sigmas) + "]")
+            if args.learn_p:
+                ords = [float(o) for o in model.ords(make_vars(params, state))]
+                logger.info("Order: [" + ", ".join(f"{o:.4f}" for o in ords) + "]")
             if float(test_loss) < best_loss:
                 best_loss = float(test_loss)
-                save_most_recent(
-                    {"args": vars(args), "params": params, "state": state},
-                    args.save,
-                )
+                if is_main():
+                    save_most_recent(
+                        {"args": vars(args), "params": params, "state": state},
+                        args.save,
+                    )
+                sync("toy_ckpt")
 
-        if itr == 1 or itr % args.viz_freq == 0:
+        if (args.viz_freq > 0 and (itr == 1 or itr % args.viz_freq == 0)
+                and n_proc == 1):
             try:
                 import matplotlib
                 matplotlib.use("Agg")
@@ -236,7 +278,8 @@ def main():
                 logger.info(f"viz failed: {e}")
 
         # don't let (infrequent) val/viz wall-time pollute the step timer
-        if itr == 1 or itr % args.val_freq == 0 or itr % args.viz_freq == 0:
+        if (itr == 1 or itr % args.val_freq == 0
+                or (args.viz_freq > 0 and itr % args.viz_freq == 0)):
             last_t[0] = time.time()
 
     lag.flush()
