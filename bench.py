@@ -25,6 +25,31 @@ import time
 import numpy as np
 
 REFERENCE_GPU_SAMPLES_PER_SEC_ESTIMATE = 20.0
+TPU_V5E_PEAK_BF16_FLOPS = 197e12  # per chip, published spec
+
+
+def estimate_step_flops(batch, nstep, n_terms=12.0, bwd_iters=4, idim=512,
+                        kernels=(3, 1, 3), scales=((3, 1024), (12, 256), (48, 64)),
+                        blocks_per_scale=2):
+    """Analytic FLOPs/step for the CIFAR-10 recipe, in net-eval equivalents.
+
+    One net eval = the 3-conv Lipschitz stack (2*B*HW*Cin*Cout*k^2 per conv).
+    Per imBlock and step the solver/estimator structure costs, in evals
+    (VJP ~ 2 evals):
+      forward solve   1 (x-embed) + nstep+1 (z evals)
+      re-attachment   2 fwd + ~4 VJP (data+weight grads, both nets)
+      estimator       ~4*n_terms  (one VJP per term per net)
+      backward solve  2*bwd_iters (VJPs through nnet_z)
+    n_terms defaults to n_exact_terms(10) + mean Poisson tail (~2). This is
+    a first-order model (ignores power iteration, actnorm, optimizer —
+    sub-1% each); treat mfu_est as an estimate, not a measurement.
+    """
+    evals = (1 + (nstep + 1)) + 6 + 4 * n_terms + 2 * bwd_iters
+    k0, k1, k2 = kernels
+    per_eval = 0.0
+    for c, hw in scales:
+        per_eval += 2 * batch * hw * idim * (c * k0 * k0 + idim * k1 * k1 + c * k2 * k2)
+    return evals * per_eval * blocks_per_scale
 
 
 def main():
@@ -86,14 +111,23 @@ def main():
     dt = time.perf_counter() - t0
 
     samples_per_sec = batch * steps / dt
+    nstep = warm_metrics.get("broyden_nstep", 3.0)
+    flops = estimate_step_flops(batch, nstep)
+    mfu = flops / (dt / steps) / TPU_V5E_PEAK_BF16_FLOPS
     print(json.dumps({
         "metric": "cifar10_train_samples_per_sec",
         "value": round(samples_per_sec, 3),
         "unit": "samples/s",
+        # vs_baseline is an ESTIMATE: the reference publishes no numbers
+        # (BASELINE.md); 20 samples/s is the pinned V100-class guess.
         "vs_baseline": round(samples_per_sec / REFERENCE_GPU_SAMPLES_PER_SEC_ESTIMATE, 3),
+        "vs_baseline_is_estimate": True,
         "step_ms": round(1000 * dt / steps, 3),
+        # analytic-model FLOPs (see estimate_step_flops) / v5e bf16 peak
+        "tflops_per_step_est": round(flops / 1e12, 2),
+        "mfu_est": round(mfu, 4),
         "bpd": round(warm_metrics.get("bpd", float("nan")), 4),
-        "broyden_nstep": round(warm_metrics.get("broyden_nstep", float("nan")), 2),
+        "broyden_nstep": round(nstep, 2),
         "broyden_converged": round(warm_metrics.get("broyden_converged", float("nan")), 3),
     }))
 

@@ -46,14 +46,47 @@ class ImageData:
             yield self.x[sel], self.y[sel]
 
 
-def _synthetic(name, n, c, h, w, n_classes=10, seed=0):
+def _synthetic(name, n, c, h, w, n_classes=10, seed=0, structured=False):
     rng = np.random.RandomState(seed)
+    if structured:
+        return _synthetic_structured(name, n, c, h, w, n_classes, seed)
     x = rng.randint(0, 256, size=(n, c, h, w), dtype=np.uint8)
     y = rng.randint(0, n_classes, size=(n,)).astype(np.int64)
     return ImageData(name, x, y, synthetic=True)
 
 
-def load_cifar10(dataroot, train=True, synthetic_fallback=False, synthetic_n=2048):
+def _synthetic_structured(name, n, c, h, w, n_classes=10, seed=0, n_modes=6):
+    """Learnable synthetic images: random low-frequency cosine mixtures
+    (plus light noise) quantised to uint8. Unlike uniform noise (whose
+    entropy is already 8 bits/dim, leaving a density model nothing to
+    learn), these have strong spatial/channel correlation, so long-horizon
+    training shows a genuinely descending bits/dim trajectory in the
+    zero-egress image where real datasets are absent."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.meshgrid(np.arange(h) / h, np.arange(w) / w, indexing="ij")
+    imgs = np.zeros((n, c, h, w), np.float32)
+    # batched mode synthesis: (n, c, n_modes) params -> sum of cosines
+    fy = rng.randint(0, 4, size=(n, c, n_modes))
+    fx = rng.randint(0, 4, size=(n, c, n_modes))
+    phase = rng.uniform(0, 2 * np.pi, size=(n, c, n_modes)).astype(np.float32)
+    amp = rng.exponential(1.0, size=(n, c, n_modes)).astype(np.float32)
+    chunk = 512
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        arg = (2 * np.pi * (fy[i0:i1, :, :, None, None] * yy
+                            + fx[i0:i1, :, :, None, None] * xx)
+               + phase[i0:i1, :, :, None, None])
+        imgs[i0:i1] = np.sum(amp[i0:i1, :, :, None, None] * np.cos(arg), axis=2)
+    imgs += 0.15 * rng.standard_normal(imgs.shape).astype(np.float32)
+    lo = imgs.min(axis=(1, 2, 3), keepdims=True)
+    hi = imgs.max(axis=(1, 2, 3), keepdims=True)
+    x = ((imgs - lo) / np.maximum(hi - lo, 1e-6) * 255).astype(np.uint8)
+    y = rng.randint(0, n_classes, size=(n,)).astype(np.int64)
+    return ImageData(name, x, y, synthetic=True)
+
+
+def load_cifar10(dataroot, train=True, synthetic_fallback=False, synthetic_n=2048,
+                 synthetic_structured=False):
     try:
         from torchvision.datasets import CIFAR10
 
@@ -64,7 +97,9 @@ def load_cifar10(dataroot, train=True, synthetic_fallback=False, synthetic_n=204
     except Exception:
         if not synthetic_fallback:
             raise
-        return _synthetic("cifar10", synthetic_n, 3, 32, 32)
+        return _synthetic("cifar10", synthetic_n, 3, 32, 32,
+                          seed=0 if train else 1,
+                          structured=synthetic_structured)
 
 
 def load_mnist(dataroot, train=True, synthetic_fallback=False, synthetic_n=2048):
@@ -99,9 +134,12 @@ def load_pth_dataset(name, loc, train=True, test_head=None,
         return _synthetic(name, synthetic_n, c, h, w)
 
 
-def load_dataset(name, dataroot, train=True, synthetic_fallback=False):
+def load_dataset(name, dataroot, train=True, synthetic_fallback=False,
+                 synthetic_n=2048, synthetic_structured=False):
     if name == "cifar10":
-        return load_cifar10(dataroot, train, synthetic_fallback)
+        return load_cifar10(dataroot, train, synthetic_fallback,
+                            synthetic_n=synthetic_n if train else min(synthetic_n, 2048),
+                            synthetic_structured=synthetic_structured)
     if name == "mnist":
         return load_mnist(dataroot, train, synthetic_fallback)
     if name == "svhn":

@@ -21,22 +21,31 @@ def linear_warmup(base_lr: float, warmup_iters: int):
 
 
 def cosine_annealing_warm_restarts(base_lr: float, T_0: int, T_mult: int = 1,
-                                   eta_min: float = 0.0):
+                                   eta_min: float = 0.0,
+                                   warmup_iters: int = 0):
     """eta_min + (base - eta_min) * (1 + cos(pi * T_cur / T_i)) / 2 with the
-    SGDR restart bookkeeping (lr_scheduler.py:40-75). ``epoch`` may be
-    fractional (the reference steps it per-iteration)."""
+    SGDR restart bookkeeping (lib/lr_scheduler.py:40-75). ``epoch`` may be a
+    traced step count (jnp ops throughout, so the schedule lives inside the
+    jitted optimizer like every other schedule here); the reference steps it
+    per-iteration. Optional linear warmup multiplies on top (the reference's
+    driver ``update_lr`` overwrote the scheduler during warmup,
+    train_img.py:172-176)."""
 
     def schedule(epoch):
-        epoch = float(epoch)
-        if epoch < T_0:
-            T_i, T_cur = T_0, epoch
-        elif T_mult == 1:
-            T_i, T_cur = T_0, epoch % T_0
+        epoch = jnp.asarray(epoch, jnp.float32)
+        if T_mult == 1:
+            T_i = jnp.asarray(float(T_0))
+            T_cur = jnp.mod(epoch, T_0)
         else:
-            n = int(math.log(epoch / T_0 * (T_mult - 1) + 1, T_mult))
+            # restart index n = floor(log_Tmult(epoch/T_0*(Tmult-1)+1))
+            n = jnp.floor(
+                jnp.log(epoch / T_0 * (T_mult - 1) + 1) / math.log(T_mult))
             T_cur = epoch - T_0 * (T_mult ** n - 1) / (T_mult - 1)
             T_i = T_0 * T_mult ** n
-        return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * T_cur / T_i)) / 2
+        lr = eta_min + (base_lr - eta_min) * (1 + jnp.cos(math.pi * T_cur / T_i)) / 2
+        if warmup_iters > 0:
+            lr = lr * jnp.minimum(1.0, (epoch + 1) / warmup_iters)
+        return lr
 
     return schedule
 

@@ -27,3 +27,35 @@ def test_lagged_metrics_flush_then_reuse():
     lag.push("c")
     lag.flush()
     assert seen == ["a", "b", "c"]
+
+
+def test_sgdr_schedule_matches_reference_formula():
+    """cosine_annealing_warm_restarts (lib/lr_scheduler.py:40-75): cycle
+    boundaries restart at base_lr, midpoints hit (base+eta_min)/2, and the
+    T_mult=2 geometric cycle bookkeeping tracks the closed form — all under
+    jit (the schedule runs inside the optimizer)."""
+    import math
+    import jax
+    import numpy as np
+    from implicit_normalizing_flows_tpu.training import (
+        cosine_annealing_warm_restarts)
+
+    s = cosine_annealing_warm_restarts(1.0, 100, 1, 0.1)
+    f = jax.jit(s)
+    assert abs(float(f(0)) - 1.0) < 1e-6
+    assert abs(float(f(50)) - 0.55) < 1e-6  # (1.0 + 0.1) / 2
+    assert abs(float(f(100)) - 1.0) < 1e-6  # restart
+    assert abs(float(f(150)) - 0.55) < 1e-6
+
+    s2 = jax.jit(cosine_annealing_warm_restarts(1.0, 100, 2, 0.0))
+    # cycles: [0,100) len 100, [100,300) len 200, [300,700) len 400
+    assert abs(float(s2(100)) - 1.0) < 1e-6
+    assert abs(float(s2(200)) - 0.5) < 1e-6   # midpoint of the len-200 cycle
+    assert abs(float(s2(300)) - 1.0) < 1e-6
+    assert abs(float(s2(500)) - 0.5) < 1e-6
+
+    sw = jax.jit(cosine_annealing_warm_restarts(1.0, 1000, 1, 0.0,
+                                                warmup_iters=10))
+    assert float(sw(0)) < 0.2  # warmup suppresses the start
+    np.testing.assert_allclose(float(sw(9)), math.cos(math.pi * 9 / 1000) / 2 + 0.5,
+                               rtol=1e-5)

@@ -117,7 +117,7 @@ def main(argv=None):
     x0_u8, _ = next(train_data.batches(args.batch_size, np_rng))
     x0 = jnp.asarray(x0_u8).astype(jnp.float32) / 255.0
     key, k_init = jax.random.split(key)
-    variables = model.init(k_init, x0)
+    variables = jax.jit(model.init)(k_init, x0)  # one program, not 1000s of eager RPCs
     params, state = variables["params"], variables["state"]
     n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
     logger.info(f"Number of trainable parameters: {n_params}")

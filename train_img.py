@@ -110,6 +110,15 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--wd", type=float, default=0)
     p.add_argument("--warmup-iters", type=int, default=1000)
+    p.add_argument("--lr-schedule", type=str, choices=["warmup", "sgdr"],
+                   default="warmup",
+                   help="warmup: linear warmup then constant (reference "
+                        "update_lr); sgdr: cosine annealing with warm "
+                        "restarts (lib/lr_scheduler.py) x warmup")
+    p.add_argument("--sgdr-t0", type=int, default=10000,
+                   help="SGDR first-cycle length in optimizer steps")
+    p.add_argument("--sgdr-tmult", type=int, default=1)
+    p.add_argument("--sgdr-eta-min", type=float, default=0.0)
     p.add_argument("--annealing-iters", type=int, default=0)
     p.add_argument("--save", type=str, default="experiment1")
     p.add_argument("--val-batchsize", type=int, default=200)
@@ -135,6 +144,12 @@ def parse_args(argv=None):
     p.add_argument("--vis-freq", type=int, default=500)
     p.add_argument("--synthetic-data", type=eval, choices=[True, False], default=False,
                    help="right-shaped random data when the dataset is absent (zero-egress image)")
+    p.add_argument("--synthetic-n", type=int, default=2048,
+                   help="synthetic train-set size (test set capped at 2048)")
+    p.add_argument("--synthetic-structured", type=eval, choices=[True, False],
+                   default=False,
+                   help="learnable low-frequency synthetic images instead of "
+                        "uniform noise (for long-horizon training evidence)")
     p.add_argument("--max-iters-per-epoch", type=int, default=None)
     return p.parse_args(argv)
 
@@ -332,9 +347,13 @@ def main(argv=None):
 
     im_dim, n_classes, init_layer, nvals = dataset_config(args)
     train_data = load_dataset(args.data, args.dataroot, train=True,
-                              synthetic_fallback=args.synthetic_data)
+                              synthetic_fallback=args.synthetic_data,
+                              synthetic_n=args.synthetic_n,
+                              synthetic_structured=args.synthetic_structured)
     test_data = load_dataset(args.data, args.dataroot, train=False,
-                             synthetic_fallback=args.synthetic_data)
+                             synthetic_fallback=args.synthetic_data,
+                             synthetic_n=args.synthetic_n,
+                             synthetic_structured=args.synthetic_structured)
     logger.info(f"train {len(train_data)} / test {len(test_data)} examples"
                 + (" (SYNTHETIC)" if train_data.synthetic else ""))
     if train_data.shape[1] != args.imagesize:
@@ -353,13 +372,21 @@ def main(argv=None):
     if args.squeeze_first:
         from implicit_normalizing_flows_tpu.layers.squeeze import squeeze
         x0 = squeeze(x0)
-    variables = model.init(k_init, x0)
-    variables = model.init_with_batch(variables, x0, rng=k_batch)
+    # jit the whole init: one dispatched program instead of thousands of
+    # eager RPCs (the axon tunnel charges a slow round-trip per dispatch)
+    variables = jax.jit(model.init)(k_init, x0)
+    variables = jax.jit(model.init_with_batch)(variables, x0, rng=k_batch)
     params, state = variables["params"], variables["state"]
     n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
     logger.info(f"Number of trainable parameters: {n_params}")
 
-    lr_schedule = linear_warmup(args.lr, args.warmup_iters)
+    if args.lr_schedule == "sgdr":
+        from implicit_normalizing_flows_tpu.training import cosine_annealing_warm_restarts
+        lr_schedule = cosine_annealing_warm_restarts(
+            args.lr, args.sgdr_t0, args.sgdr_tmult, args.sgdr_eta_min,
+            warmup_iters=args.warmup_iters)
+    else:
+        lr_schedule = linear_warmup(args.lr, args.warmup_iters)
     if args.optimizer == "adam":
         optimizer = adam(lr_schedule, betas=(0.9, 0.99), weight_decay=args.wd, grad_clip=1.0)
     elif args.optimizer == "adamax":

@@ -79,6 +79,15 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--wd", type=float, default=0)
     p.add_argument("--warmup-iters", type=int, default=1000)
+    p.add_argument("--lr-schedule", type=str, choices=["warmup", "sgdr"],
+                   default="warmup",
+                   help="warmup: linear warmup then constant (reference "
+                        "update_lr); sgdr: cosine annealing with warm "
+                        "restarts (lib/lr_scheduler.py) x warmup")
+    p.add_argument("--sgdr-t0", type=int, default=10000,
+                   help="SGDR first-cycle length in optimizer steps")
+    p.add_argument("--sgdr-tmult", type=int, default=1)
+    p.add_argument("--sgdr-eta-min", type=float, default=0.0)
     p.add_argument("--annealing-iters", type=int, default=0)
     p.add_argument("--save", type=str, default="experiments/tabular")
     p.add_argument("--seed", type=int, default=0)
@@ -126,8 +135,8 @@ def main(argv=None):
 
     x0 = jnp.asarray(train_x[:args.batchsize])
     key, k_init = jax.random.split(key)
-    variables = model.init(k_init, x0)
-    variables = model.init_with_batch(variables, x0)
+    variables = jax.jit(model.init)(k_init, x0)  # one program, not 1000s of eager RPCs
+    variables = jax.jit(model.init_with_batch)(variables, x0)
     params, state = variables["params"], variables["state"]
     n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
     logger.info(f"Number of trainable parameters: {n_params}")
@@ -136,7 +145,13 @@ def main(argv=None):
         ckpt = load_checkpoint(args.resume)
         params, state = ckpt["params"], ckpt["state"]
 
-    lr_schedule = linear_warmup(args.lr, args.warmup_iters)
+    if args.lr_schedule == "sgdr":
+        from implicit_normalizing_flows_tpu.training import cosine_annealing_warm_restarts
+        lr_schedule = cosine_annealing_warm_restarts(
+            args.lr, args.sgdr_t0, args.sgdr_tmult, args.sgdr_eta_min,
+            warmup_iters=args.warmup_iters)
+    else:
+        lr_schedule = linear_warmup(args.lr, args.warmup_iters)
     opt_fns = {"adam": adam, "adamax": adamax, "rmsprop": rmsprop}
     optimizer = opt_fns[args.optimizer](lr_schedule, weight_decay=args.wd, grad_clip=1.0)
     opt_state = optimizer.init(params)

@@ -124,8 +124,8 @@ def main():
 
     x0 = jnp.asarray(inf_train_gen(args.data, args.batch_size, np_rng))
     key, k_init = jax.random.split(key)
-    variables = model.init(k_init, x0)
-    variables = model.init_with_batch(variables, x0)
+    variables = jax.jit(model.init)(k_init, x0)  # one program, not 1000s of eager RPCs
+    variables = jax.jit(model.init_with_batch)(variables, x0)
     params, state = variables["params"], variables["state"]
     n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(params))
     logger.info(f"Number of trainable parameters: {n_params}")
