@@ -1,0 +1,80 @@
+"""Long-horizon training-evidence harness.
+
+Parses a train_img log (``<save>/logs``) into a trajectory artifact:
+per-print-freq train bpd / Broyden iters / converged fraction, per-epoch
+test bpd and Lipschitz-sigma snapshots, and writes a JSON summary asserting
+the health criteria the reference's multi-day runs exhibit
+(``/root/reference/run_cifar10.sh:1-3``, ``train_img.py:591-694``):
+descending bpd, converged fraction ~1.0 throughout, solver iteration count
+stable as the Lipschitz constants saturate.
+
+Usage: python experiments/long_horizon.py <save_dir> [out.json]
+"""
+import json
+import re
+import sys
+
+
+def parse(log_path):
+    train = []   # (epoch, i, bpd, bpd_avg, nstep, converged)
+    test = []    # (epoch, bpd, n_examples)
+    sigmas = []  # per-epoch lists
+    pat_train = re.compile(
+        r"Epoch: \[(\d+)\]\[(\d+)\].*Bits/dim ([\d.]+)\(([\d.]+)\)"
+        r".*BroydenIters ([\d.]+) \| Converged ([\d.]+)")
+    pat_test = re.compile(r"Epoch (\d+) \| Test bits/dim ([\d.]+) \((\d+) examples\)")
+    pat_sig = re.compile(r"Lipschitz constants: \[(.*)\]")
+    for line in open(log_path):
+        m = pat_train.search(line)
+        if m:
+            train.append((int(m.group(1)), int(m.group(2)), float(m.group(3)),
+                          float(m.group(4)), float(m.group(5)), float(m.group(6))))
+            continue
+        m = pat_test.search(line)
+        if m:
+            test.append((int(m.group(1)), float(m.group(2)), int(m.group(3))))
+            continue
+        m = pat_sig.search(line)
+        if m:
+            sigmas.append([float(s) for s in m.group(1).split(", ")])
+    return train, test, sigmas
+
+
+def main():
+    save = sys.argv[1]
+    out = sys.argv[2] if len(sys.argv) > 2 else None
+    train, test, sigmas = parse(save.rstrip("/") + "/logs")
+    assert train, "no train lines parsed"
+    k = max(1, len(train) // 10)
+    first_avg = sum(t[3] for t in train[:k]) / k
+    last_avg = sum(t[3] for t in train[-k:]) / k
+    min_converged = min(t[5] for t in train)
+    nsteps = [t[4] for t in train]
+    summary = {
+        "n_train_points": len(train),
+        "epochs": train[-1][0] + 1,
+        "train_bpd_first_decile_avg": round(first_avg, 4),
+        "train_bpd_last_decile_avg": round(last_avg, 4),
+        "train_bpd_drop": round(first_avg - last_avg, 4),
+        "test_bpd_trajectory": [(e, b) for e, b, _ in test],
+        "test_examples_per_epoch": test[0][2] if test else None,
+        "min_converged_fraction": min_converged,
+        "broyden_nstep_first": nsteps[0],
+        "broyden_nstep_last": nsteps[-1],
+        "broyden_nstep_max": max(nsteps),
+        "sigma_max_first_epoch": round(max(sigmas[0]), 4) if sigmas else None,
+        "sigma_max_last_epoch": round(max(sigmas[-1]), 4) if sigmas else None,
+    }
+    # health assertions (VERDICT.md next-round item 2)
+    summary["healthy"] = bool(
+        last_avg < first_avg and min_converged >= 0.99
+        and max(nsteps) <= 30)
+    text = json.dumps(summary, indent=1)
+    print(text)
+    if out:
+        with open(out, "w") as f:
+            f.write(text + "\n")
+
+
+if __name__ == "__main__":
+    main()
