@@ -85,12 +85,21 @@ def add_distributed_flags(parser) -> None:
                              "enables multi-host training")
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--platform", type=str, default=None,
+                        choices=["cpu", "tpu", "axon"],
+                        help="force the JAX backend (site config may pin "
+                             "JAX_PLATFORMS; this wins if set before first "
+                             "device use)")
 
 
 def setup_distributed(args) -> int:
     """init_distributed from driver args; broadcast process 0's seed so every
     process draws the same host-side batch permutation. Returns the process
     count."""
+    if getattr(args, "platform", None):
+        # must precede any jax device/backend query (including
+        # init_distributed); overrides a sitecustomize-pinned JAX_PLATFORMS
+        jax.config.update("jax_platforms", args.platform)
     init_distributed(getattr(args, "coordinator", None),
                      getattr(args, "num_processes", None),
                      getattr(args, "process_id", None))
