@@ -313,7 +313,11 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
 
     if optimizer is None:
         def eval_step(params, state, x_u8, y, rng):
-            _, (_, metrics) = loss_fn(params, state, x_u8, y, rng, jnp.ones(()))
+            _, (st2, metrics) = loss_fn(params, state, x_u8, y, rng, jnp.ones(()))
+            # Eval-path solver telemetry: EMA weights can make eval solves
+            # harder than train solves (sigma drift), which is invisible
+            # without per-eval nstep/converged.
+            metrics.update(solver_stats(st2))
             return metrics
         step = eval_step
     else:

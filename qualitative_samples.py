@@ -67,6 +67,12 @@ def main():
                                               args.nsamples)
     params = ckpt["ema"] if (args.use_ema and "ema" in ckpt) else ckpt["params"]
     variables = make_vars(params, ckpt["state"])
+    if args.use_ema and "ema" in ckpt:
+        # The checkpoint's u/v/sigma state tracks the LIVE weights; refresh
+        # the power iteration against the EMA weights so the sampling solves
+        # see a correctly normalized (contractive) net (same rationale as
+        # train_img's EMA-eval sigma refresh).
+        variables = make_vars(params, model.update_lipschitz(variables)["state"])
 
     key = jax.random.PRNGKey(args.seed)
     dim = sum(int(np.prod(d)) for d in model.dims)

@@ -428,6 +428,19 @@ def main(argv=None):
                                  accum_steps=args.update_freq, **step_kwargs)
     eval_step = make_image_step(model, None, train=False, mesh=mesh, **step_kwargs)
 
+    # EMA-eval sigma refresh: the u/v/sigma power-iteration state tracks the
+    # LIVE weights, and sigma(w_ema) estimated from live-weight u/v is an
+    # UNDERestimate — the effective Lipschitz of the EMA net can exceed 1 and
+    # the eval fixed-point solves diverge (observed: eval bpd orders of
+    # magnitude off while train bpd descends). The reference shares this
+    # exposure (EMA swaps weights but not spectral-norm buffers,
+    # lib/utils.py:140-169) but trains gently enough not to trip it; here we
+    # re-run the adaptive power iteration against the EMA weights before
+    # evaluating. Pure improvement — ema_val=False eval is untouched.
+    @jax.jit
+    def refresh_sigma_state(p, s):
+        return model.update_lipschitz(make_vars(p, s))["state"]
+
     if mesh is not None:
         params, state, opt_state, shadow = (
             place_replicated(mesh, t) for t in (params, state, opt_state, shadow))
@@ -550,6 +563,7 @@ def main(argv=None):
         # validation with EMA weights (train_img.py:702-737); batch metrics
         # stay device-resident until after the last dispatch (async eval)
         eval_params = shadow if args.ema_val else params
+        eval_state = refresh_sigma_state(eval_params, state) if args.ema_val else state
         val_bpd, val_ce, val_correct, val_total = 0.0, 0.0, 0, 0
         pending = []
         # Full test set: keep ragged tail batches (drop_last=False) but pad
@@ -571,18 +585,26 @@ def main(argv=None):
                 xv, yv = jnp.asarray(x_u8), jnp.asarray(y)
             if n_proc > 1:
                 sub = place_replicated(mesh, sub)
-            pending.append((eval_step(eval_params, state, xv, yv, sub), ny))
+            pending.append((eval_step(eval_params, eval_state, xv, yv, sub), ny))
             if args.max_iters_per_epoch and len(pending) >= args.max_iters_per_epoch:
                 break
+        val_nstep, val_conv, n_solver = 0.0, 1.0, 0
         for m, ny in pending:
             if args.task in ("density", "hybrid"):
                 val_bpd += float(np.sum(np.asarray(m["bpd_vec"])[:ny]))
             if args.task in ("classification", "hybrid"):
                 val_ce += float(np.sum(np.asarray(m["ce_vec"])[:ny]))
                 val_correct += float(np.sum(np.asarray(m["correct_vec"])[:ny]))
+            if "broyden_nstep" in m:
+                val_nstep += float(m["broyden_nstep"])
+                val_conv = min(val_conv, float(m["broyden_converged"]))
+                n_solver += 1
             val_total += ny
         val_bpd /= max(val_total, 1)
         s = f"Epoch {epoch} | Test bits/dim {val_bpd:.4f} ({val_total} examples)"
+        if n_solver:
+            s += (f" | EvalBroydenIters {val_nstep / n_solver:.1f}"
+                  f" | EvalConverged {val_conv:.2f}")
         if args.task in ("classification", "hybrid") and val_total:
             s += (f" | CE {val_ce / val_total:.4f}"
                   f" | Acc {100 * val_correct / val_total:.2f}")
