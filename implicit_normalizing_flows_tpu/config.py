@@ -61,6 +61,11 @@ class KernelConfig:
     # lane-packing target for batch-tiled small-scale kernels.
     #                                                    [IMNF_FUSED_PACK_LANES]
     fused_pack_lanes: int = 256
+    # separate lane-packing target for the fixed-trip-count estimator-chain
+    # kernels: unlike the solves these have no per-example early exit, so
+    # packing has no convoy cost and amortises weight DMAs.
+    #                                                    [IMNF_CHAIN_PACK_LANES]
+    chain_pack_lanes: int = 256
     # experimental Pallas rank-1 Broyden update inside the XLA solver
     # (measured ~7x slower than XLA's fusion at CIFAR shapes).   [IMNF_PALLAS]
     pallas_broyden: bool = False
@@ -100,6 +105,7 @@ _ENV_BY_FIELD = {
     "fused_min_hw": "IMNF_FUSED_MIN_HW",
     "fused_block": "IMNF_FUSED_BLOCK",
     "fused_pack_lanes": "IMNF_FUSED_PACK_LANES",
+    "chain_pack_lanes": "IMNF_CHAIN_PACK_LANES",
     "pallas_broyden": "IMNF_PALLAS",
     "final_form": "IMNF_FINAL_FORM",
     "warm_start": "IMNF_WARM_START",

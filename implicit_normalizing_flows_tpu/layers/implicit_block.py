@@ -102,13 +102,15 @@ def _fused_solve_mode():
     return "f32" if prec in ("float32", "highest") else "tf32"
 
 
-def _pack_reps_for(x):
+def _pack_reps_for(x, target=None):
     """Examples lane-packed per kernel program for this input's spatial
     dims (``ops.fused_chain.choose_reps``): 1 at 32x32, up to 16 at the 8x8
-    scale, so the fused kernels keep full 128-lane MXU tiles everywhere."""
+    scale, so the fused kernels keep full 128-lane MXU tiles everywhere.
+    ``target`` overrides the lane target (the chain kernels use
+    ``chain_pack_lanes`` — no early exit, so no convoy cost to packing)."""
     from ..ops.fused_chain import choose_reps
 
-    return choose_reps(x.shape[0], x.shape[2], x.shape[3])
+    return choose_reps(x.shape[0], x.shape[2], x.shape[3], target)
 
 
 def _fused_solve_data(nnet_a, nnet_b, va, vb, x):
@@ -820,7 +822,7 @@ class ImplicitBlock(Flow):
                 and not (train and cfg.grad_in_forward) and x.ndim == 4):
             interp = fused_mode == "interpret"
             on_tpu = jax.devices()[0].platform == "tpu"
-            reps = _pack_reps_for(x)
+            reps = _pack_reps_for(x, kernel_config().chain_pack_lanes)
             big_enough = reps * x.shape[2] * x.shape[3] >= kernel_config().fused_min_hw
             get_cd_x = getattr(self.nnet_x, "conv_chain_data", None)
             get_cd_z = getattr(self.nnet_z, "conv_chain_data", None)

@@ -68,7 +68,7 @@ def unpack_reps(a, reps):
             .reshape(Bg * reps, C, HW))
 
 
-def choose_reps(B, H, W):
+def choose_reps(B, H, W, target=None):
     """Examples to lane-pack per program: enough to reach
     IMNF_FUSED_PACK_LANES lanes, constrained to divide the PER-SHARD batch
     when a 'data' mesh axis is active (so packed groups never straddle
@@ -92,7 +92,8 @@ def choose_reps(B, H, W):
     if B % ndata:
         return 1
     b_local = B // ndata
-    target = kernel_config().fused_pack_lanes
+    if target is None:
+        target = kernel_config().fused_pack_lanes
     r = max(1, min(b_local, target // (H * W)))
     while b_local % r:
         r -= 1
