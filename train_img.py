@@ -151,6 +151,11 @@ def parse_args(argv=None):
                    default=False,
                    help="learnable low-frequency synthetic images instead of "
                         "uniform noise (for long-horizon training evidence)")
+    p.add_argument("--synthetic-infinite", type=eval, choices=[True, False],
+                   default=False,
+                   help="redraw the synthetic train set each epoch (infinite "
+                        "stream, like the reference's toy inf_train_gen) so "
+                        "long-horizon runs can't memorise a finite set")
     p.add_argument("--max-iters-per-epoch", type=int, default=None)
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace of a training-step "
@@ -497,6 +502,10 @@ def main(argv=None):
     prof = StepWindowProfiler(args.profile_dir, args.profile_start,
                               args.profile_steps)
     for epoch in range(begin_epoch, args.nepochs):
+        if args.synthetic_infinite and train_data.synthetic and epoch > 0:
+            # epoch-indexed seed: deterministic, resume-consistent, and
+            # disjoint from the fixed test draw (seed 1)
+            train_data = train_data.regenerate(1000 + epoch)
         last_t[0] = time.time()
         for i, (x_u8, y) in enumerate(train_data.batches(args.batchsize, np_rng)):
             if args.max_iters_per_epoch and i >= args.max_iters_per_epoch:
