@@ -22,7 +22,9 @@ def parse(log_path):
     pat_train = re.compile(
         r"Epoch: \[(\d+)\]\[(\d+)\].*Bits/dim ([\d.]+)\(([\d.]+)\)"
         r".*BroydenIters ([\d.]+) \| Converged ([\d.]+)")
-    pat_test = re.compile(r"Epoch (\d+) \| Test bits/dim ([\d.]+) \((\d+) examples\)")
+    pat_test = re.compile(
+        r"Epoch (\d+) \| Test bits/dim ([\d.]+) \((\d+) examples\)"
+        r"(?: \| EvalBroydenIters ([\d.]+) \| EvalConverged ([\d.]+))?")
     pat_sig = re.compile(r"Lipschitz constants: \[(.*)\]")
     for line in open(log_path):
         m = pat_train.search(line)
@@ -32,7 +34,9 @@ def parse(log_path):
             continue
         m = pat_test.search(line)
         if m:
-            test.append((int(m.group(1)), float(m.group(2)), int(m.group(3))))
+            test.append((int(m.group(1)), float(m.group(2)), int(m.group(3)),
+                         float(m.group(4)) if m.group(4) else None,
+                         float(m.group(5)) if m.group(5) else None))
             continue
         m = pat_sig.search(line)
         if m:
@@ -56,8 +60,10 @@ def main():
         "train_bpd_first_decile_avg": round(first_avg, 4),
         "train_bpd_last_decile_avg": round(last_avg, 4),
         "train_bpd_drop": round(first_avg - last_avg, 4),
-        "test_bpd_trajectory": [(e, b) for e, b, _ in test],
+        "test_bpd_trajectory": [(e, b) for e, b, *_ in test],
         "test_examples_per_epoch": test[0][2] if test else None,
+        "eval_converged_trajectory": [
+            (e, cv) for e, _, _, _, cv in test if cv is not None],
         "min_converged_fraction": min_converged,
         "broyden_nstep_first": nsteps[0],
         "broyden_nstep_last": nsteps[-1],

@@ -12,11 +12,16 @@
 # Lipschitz saturation past the reference's regime (Broyden iters ~20,
 # converged ~0.9) and exposing the EMA-eval stale-sigma bug fixed in 5bd0637.
 set -x
-SAVE=${SAVE:-experiments/cifar10_long_r2b}
+SAVE=${SAVE:-experiments/cifar10_long_r2c}
+# EXTRA="" reproduces the finite-set stress variant (cifar10_long_r2b);
+# default runs the infinite-stream variant (no memorisation: the train set
+# is redrawn each epoch, so solver hardness reflects the data, not a
+# shrinking support).
+EXTRA=${EXTRA:---synthetic-infinite True}
 COMMON="--data cifar10 --actnorm True --nblocks 2-2-2 --idim 512 --act swish \
   --kernels 3-1-3 --vnorms 2222 --fc-end False --preact True --coeff 0.9 \
   --n-exact-terms 10 --synthetic-data True --synthetic-structured True \
-  --synthetic-n 50000 --seed 42 --save $SAVE --vis-freq 2000"
+  --synthetic-n 50000 --seed 42 --save $SAVE --vis-freq 2000 $EXTRA"
 
 # segment 1: epochs 0-5 (781 steps/epoch at batch 64 -> 4686 steps)
 timeout 3500 python train_img.py $COMMON --nepochs 6 || exit 1

@@ -172,3 +172,30 @@ def test_image_data_batches_ragged_tail():
     sizes = [len(b[0]) for b in d.batches(4, None, shuffle=False, drop_last=False)]
     assert sizes == [4, 4, 2]
     assert sum(sizes) == len(d)
+
+
+def test_structured_synthetic_generator_properties():
+    """Basis-matmul structured generator: spatially correlated (unlike
+    uniform noise), deterministic per seed, distinct across seeds."""
+    from implicit_normalizing_flows_tpu.data.images import _synthetic_structured
+    a = _synthetic_structured("t", 32, 3, 16, 16, seed=3)
+    b = _synthetic_structured("t", 32, 3, 16, 16, seed=3)
+    c = _synthetic_structured("t", 32, 3, 16, 16, seed=4)
+    np.testing.assert_array_equal(a.x, b.x)
+    assert not np.array_equal(a.x, c.x)
+    assert a.structured and a.synthetic
+    f = a.x.astype(np.float32)
+    corr = np.corrcoef(f[:, :, :, :-1].ravel(), f[:, :, :, 1:].ravel())[0, 1]
+    assert corr > 0.7, corr  # low-frequency images, not white noise
+
+
+def test_synthetic_regenerate_infinite_stream():
+    from implicit_normalizing_flows_tpu.data.images import _synthetic
+    d = _synthetic("t", 16, 3, 8, 8, seed=0, structured=True)
+    d2 = d.regenerate(1001)
+    assert d2.x.shape == d.x.shape and d2.structured and d2.synthetic
+    assert not np.array_equal(d.x, d2.x)
+    # real (non-synthetic) data is never regenerated
+    from implicit_normalizing_flows_tpu.data.images import ImageData
+    real = ImageData("r", d.x.copy())
+    assert real.regenerate(5) is real
