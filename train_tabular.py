@@ -181,6 +181,12 @@ def main(argv=None):
     eval_step = (make_density_eval_step(model, mesh=mesh, in_shardings=replicated(mesh))
                  if mesh is not None else make_density_eval_step(model))
 
+    from implicit_normalizing_flows_tpu.layers.protocol import make_vars as _mv
+
+    @jax.jit
+    def refresh_sigma_state(p, s):
+        return model.update_lipschitz(_mv(p, s))["state"]
+
     meters = {k: RunningAverageMeter(0.97) for k in ("time", "nll", "logpz", "delta")}
 
     # Lag-1 metric materialisation: step N+1 is dispatched before the host
@@ -235,14 +241,17 @@ def main(argv=None):
                         + ", ".join(f"{s:.4f}" for s in sigmas) + "]")
 
         # validate with EMA params on the validation split (async: metrics
-        # materialised after the last dispatch)
+        # materialised after the last dispatch). As in train_img, the
+        # power-iteration state is refreshed against the EMA weights first —
+        # sigma from live-weight u/v underestimates sigma(w_ema).
+        eval_state = refresh_sigma_state(shadow, state)
         pending = []
         for xb in batch_iterator(valid_x, args.val_batchsize, np_rng, shuffle=False, drop_last=False):
             key, sub = jax.random.split(key)
             xe = place_replicated(mesh, jnp.asarray(xb)) if mesh is not None else jnp.asarray(xb)
             if n_proc > 1:
                 sub = place_replicated(mesh, sub)
-            pending.append((eval_step(shadow, state, xe, sub)[0], len(xb)))
+            pending.append((eval_step(shadow, eval_state, xe, sub)[0], len(xb)))
         val_nll = sum(float(l) * n for l, n in pending)
         nb = sum(n for _, n in pending)
         val_nll /= max(nb, 1)
@@ -255,7 +264,7 @@ def main(argv=None):
                 xe = place_replicated(mesh, jnp.asarray(xb)) if mesh is not None else jnp.asarray(xb)
                 if n_proc > 1:
                     sub = place_replicated(mesh, sub)
-                loss, _, _ = eval_step(shadow, state, xe, sub)
+                loss, _, _ = eval_step(shadow, eval_state, xe, sub)
                 test_nll += float(loss) * len(xb)
                 nb += len(xb)
             logger.info(f"Epoch {epoch} | Test NLL {test_nll / max(nb, 1):.4f} (best val)")
