@@ -157,6 +157,10 @@ def parse_args(argv=None):
                         "stream, like the reference's toy inf_train_gen) so "
                         "long-horizon runs can't memorise a finite set")
     p.add_argument("--max-iters-per-epoch", type=int, default=None)
+    p.add_argument("--eval-only", type=eval, choices=[True, False],
+                   default=False,
+                   help="evaluate the full test set with --resume's "
+                        "checkpoint (both live and EMA weights) and exit")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace of a training-step "
                         "window into this directory (SURVEY.md §5)")
@@ -490,6 +494,61 @@ def main(argv=None):
 
     lag = LaggedMetrics(consume_metrics)
 
+    def run_eval(eval_params, eval_state, label):
+        """Full-test-set evaluation: ragged tail batches are padded back to
+        val_batchsize for the fixed-shape jitted step and masked on the host
+        — every test example is counted exactly once (the reference
+        evaluates the whole set, train_img.py:697-737)."""
+        nonlocal key
+        val_bpd, val_ce, val_correct, val_total = 0.0, 0.0, 0, 0
+        pending = []
+        for x_u8, y in test_data.batches(args.val_batchsize, None, shuffle=False,
+                                         drop_last=False):
+            ny = len(y)
+            if ny < args.val_batchsize:
+                pad = args.val_batchsize - ny
+                x_u8 = np.concatenate([x_u8, np.repeat(x_u8[-1:], pad, axis=0)])
+                y = np.concatenate([y, np.repeat(y[-1:], pad, axis=0)])
+            key, sub = jax.random.split(key)
+            if mesh is not None:
+                xv, yv = local_shard(x_u8, 0), local_shard(y, 0)
+                xv, yv = place_batch_axis(mesh, xv, 0), place_batch_axis(mesh, yv, 0)
+            else:
+                xv, yv = jnp.asarray(x_u8), jnp.asarray(y)
+            if n_proc > 1:
+                sub = place_replicated(mesh, sub)
+            pending.append((eval_step(eval_params, eval_state, xv, yv, sub), ny))
+            if args.max_iters_per_epoch and len(pending) >= args.max_iters_per_epoch:
+                break
+        val_nstep, val_conv, n_solver = 0.0, 1.0, 0
+        for m, ny in pending:
+            if args.task in ("density", "hybrid"):
+                val_bpd += float(np.sum(np.asarray(m["bpd_vec"])[:ny]))
+            if args.task in ("classification", "hybrid"):
+                val_ce += float(np.sum(np.asarray(m["ce_vec"])[:ny]))
+                val_correct += float(np.sum(np.asarray(m["correct_vec"])[:ny]))
+            if "broyden_nstep" in m:
+                val_nstep += float(m["broyden_nstep"])
+                val_conv = min(val_conv, float(m["broyden_converged"]))
+                n_solver += 1
+            val_total += ny
+        val_bpd /= max(val_total, 1)
+        s = f"{label} | Test bits/dim {val_bpd:.4f} ({val_total} examples)"
+        if n_solver:
+            s += (f" | EvalBroydenIters {val_nstep / n_solver:.1f}"
+                  f" | EvalConverged {val_conv:.2f}")
+        if args.task in ("classification", "hybrid") and val_total:
+            s += (f" | CE {val_ce / val_total:.4f}"
+                  f" | Acc {100 * val_correct / val_total:.2f}")
+        logger.info(s)
+        return val_bpd
+
+    if args.eval_only:
+        # score --resume's checkpoint with live AND EMA weights, then exit
+        run_eval(params, state, "EvalOnly[live]")
+        run_eval(shadow, refresh_sigma_state(shadow, state), "EvalOnly[ema]")
+        return params, state
+
     best_test_bpd = math.inf
     last_checkpoints = []
     # Reference semantics: global_itr = epoch * len(loader) + i
@@ -573,51 +632,7 @@ def main(argv=None):
         # stay device-resident until after the last dispatch (async eval)
         eval_params = shadow if args.ema_val else params
         eval_state = refresh_sigma_state(eval_params, state) if args.ema_val else state
-        val_bpd, val_ce, val_correct, val_total = 0.0, 0.0, 0, 0
-        pending = []
-        # Full test set: keep ragged tail batches (drop_last=False) but pad
-        # them back to val_batchsize for the fixed-shape jitted step, masking
-        # the padding on the host — every test example is counted exactly
-        # once (reference evaluates the whole set, train_img.py:697-737).
-        for x_u8, y in test_data.batches(args.val_batchsize, None, shuffle=False,
-                                         drop_last=False):
-            ny = len(y)
-            if ny < args.val_batchsize:
-                pad = args.val_batchsize - ny
-                x_u8 = np.concatenate([x_u8, np.repeat(x_u8[-1:], pad, axis=0)])
-                y = np.concatenate([y, np.repeat(y[-1:], pad, axis=0)])
-            key, sub = jax.random.split(key)
-            if mesh is not None:
-                xv, yv = local_shard(x_u8, 0), local_shard(y, 0)
-                xv, yv = place_batch_axis(mesh, xv, 0), place_batch_axis(mesh, yv, 0)
-            else:
-                xv, yv = jnp.asarray(x_u8), jnp.asarray(y)
-            if n_proc > 1:
-                sub = place_replicated(mesh, sub)
-            pending.append((eval_step(eval_params, eval_state, xv, yv, sub), ny))
-            if args.max_iters_per_epoch and len(pending) >= args.max_iters_per_epoch:
-                break
-        val_nstep, val_conv, n_solver = 0.0, 1.0, 0
-        for m, ny in pending:
-            if args.task in ("density", "hybrid"):
-                val_bpd += float(np.sum(np.asarray(m["bpd_vec"])[:ny]))
-            if args.task in ("classification", "hybrid"):
-                val_ce += float(np.sum(np.asarray(m["ce_vec"])[:ny]))
-                val_correct += float(np.sum(np.asarray(m["correct_vec"])[:ny]))
-            if "broyden_nstep" in m:
-                val_nstep += float(m["broyden_nstep"])
-                val_conv = min(val_conv, float(m["broyden_converged"]))
-                n_solver += 1
-            val_total += ny
-        val_bpd /= max(val_total, 1)
-        s = f"Epoch {epoch} | Test bits/dim {val_bpd:.4f} ({val_total} examples)"
-        if n_solver:
-            s += (f" | EvalBroydenIters {val_nstep / n_solver:.1f}"
-                  f" | EvalConverged {val_conv:.2f}")
-        if args.task in ("classification", "hybrid") and val_total:
-            s += (f" | CE {val_ce / val_total:.4f}"
-                  f" | Acc {100 * val_correct / val_total:.2f}")
-        logger.info(s)
+        val_bpd = run_eval(eval_params, eval_state, f"Epoch {epoch}")
 
         # checkpoint writes are process-0-only; the barrier orders the write
         # before any process could resume from it
