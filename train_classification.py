@@ -185,6 +185,13 @@ def main(argv=None):
         correct = jnp.sum((jnp.argmax(logits, 1) == y).astype(jnp.int32))
         return ce, correct
 
+    @jax.jit
+    def refresh_sigma_state(p, s):
+        # EMA-eval sigma refresh (see train_img): power iteration re-run
+        # against the EMA weights so the eval forward solves see a
+        # correctly-normalised net.
+        return model.update_lipschitz(make_vars(p, s))["state"]
+
     if mesh is not None:
         _rep = replicated(mesh)
         eval_step = jax.jit(eval_step, in_shardings=(_rep, _rep, _rep, _rep, _rep))
@@ -243,6 +250,7 @@ def main(argv=None):
             lag.push((ce, acc), epoch=epoch, i=i)
         lag.flush()
 
+        eval_state = refresh_sigma_state(shadow, state)
         pending = []
         # drop_last=False: the ragged tail batch is evaluated too (sums, not
         # means, accumulate) so every test example counts exactly once.
@@ -254,7 +262,7 @@ def main(argv=None):
                 xe, ye = place_replicated(mesh, xe), place_replicated(mesh, ye)
             if n_proc > 1:
                 sub = place_replicated(mesh, sub)
-            pending.append((eval_step(shadow, state, xe, ye, sub), len(y)))
+            pending.append((eval_step(shadow, eval_state, xe, ye, sub), len(y)))
             if args.max_iters_per_epoch and len(pending) >= args.max_iters_per_epoch:
                 break
         total_ce = sum(float(ce) for (ce, _), _ in pending)
