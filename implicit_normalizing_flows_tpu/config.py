@@ -79,6 +79,24 @@ class KernelConfig:
     # (None = the block's constructor arguments).  [IMNF_FWD_THRESHOLD / _BWD_]
     fwd_threshold: int | None = None
     bwd_threshold: int | None = None
+    # per-example stall exit: freeze an example whose best objective improved
+    # < stall_rtol relative over the last stall_patience iterations, but ONLY
+    # once it is already within stall_guard * eps of tolerance — the
+    # per-example analog of the reference's "hardly any progress" break,
+    # which fires only below 3x eps (reference broyden.py:165-168).
+    # stall_patience 0 disables the stall exit entirely; stall_guard <= 0
+    # removes the guard (any-objective stalling — the round-2 behavior,
+    # which silently froze far-from-root examples mid-training).
+    #            [IMNF_STALL_PATIENCE / IMNF_STALL_RTOL / IMNF_STALL_GUARD]
+    stall_patience: int = 5
+    stall_rtol: float = 0.05
+    stall_guard: float = 3.0
+    # initial Broyden direction: the reference steps -g first (broyden.py:146
+    # `update = -gx`), which for these residuals (dg/dz ~= -(I + J_gz), so
+    # J^-1 ~= -I, Newton direction +g) moves AWAY from the root on iteration
+    # 1 and is corrected by the secant updates afterwards. newton_init=True
+    # starts with +g instead.                               [IMNF_NEWTON_INIT]
+    newton_init: bool = True
 
     # --- diagnostics ------------------------------------------------------
     # print per-solve diagnostics from inside the step.     [IMNF_DEBUG_SOLVER]
@@ -111,6 +129,10 @@ _ENV_BY_FIELD = {
     "warm_start": "IMNF_WARM_START",
     "fwd_threshold": "IMNF_FWD_THRESHOLD",
     "bwd_threshold": "IMNF_BWD_THRESHOLD",
+    "stall_patience": "IMNF_STALL_PATIENCE",
+    "stall_rtol": "IMNF_STALL_RTOL",
+    "stall_guard": "IMNF_STALL_GUARD",
+    "newton_init": "IMNF_NEWTON_INIT",
     "debug_solver": "IMNF_DEBUG_SOLVER",
     "ablate": "IMNF_ABLATE",
     "donate": "IMNF_DONATE",
@@ -126,6 +148,8 @@ def _coerce(field_type, name, raw):
         return raw not in ("0", "", "false", "False")
     if field_type == "int":
         return int(raw)
+    if field_type == "float":
+        return float(raw)
     return raw
 
 

@@ -88,9 +88,17 @@ class SolverConfig:
     # stall_rtol must sit above the arithmetic noise floor of the net evals
     # (TPU default-precision convs jitter the residual by ~1%), else noise
     # dips keep resetting the patience counter and the loop runs the full
-    # budget.
+    # budget. stall_guard restricts the stall exit to examples already
+    # within guard*eps of tolerance — matching the reference, whose "hardly
+    # any progress" break only fires below 3x eps (broyden.py:165-168);
+    # None stalls at any objective (the round-2 behavior, which froze
+    # far-from-root examples at saturated Lipschitz constants).
     stall_patience: int | None = 5
     stall_rtol: float = 0.05
+    stall_guard: float | None = 3.0
+    # First Broyden direction +g (Newton under the solver's own J^-1 ~= -I
+    # init) instead of the reference's -g; see ops.broyden.broyden.
+    newton_init: bool = True
 
 
 def _sg(tree):
@@ -155,6 +163,7 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
             xs, data_x, data_z,
             threshold=cfg.threshold, eps=cfg.eps_forward,
             stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
+            stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
             interpret=interp, reps=reps)
 
@@ -212,6 +221,7 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
                 banach_x0=flat(jax.lax.stop_gradient(x)),
                 banach_threshold=cfg.banach_threshold,
                 stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
+                stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
             )
         # The re-attachment value (implicit_block.py:227) needs no extra net
         # evals: z_reatt = x + g_x(x) - g_z(z_hat) = x_embed - g_z(z_hat)
@@ -298,7 +308,8 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
                         grad, cd,
                         threshold=cfg.threshold_backward, eps=cfg.eps_backward,
                         stall_patience=cfg.stall_patience,
-                        stall_rtol=cfg.stall_rtol,
+                        stall_rtol=cfg.stall_rtol, stall_guard=cfg.stall_guard,
+                        newton_init=cfg.newton_init,
                         mode=bwd_mode, interpret=interp, reps=reps)
 
         if u is None:
@@ -315,6 +326,7 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
                     gfun, jnp.zeros_like(flat(grad)),
                     threshold=cfg.threshold_backward, eps=cfg.eps_backward,
                     stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
+                    stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
                 )
             if kernel_config().debug_solver:
                 jax.debug.print(
@@ -411,6 +423,7 @@ def _make_implicit_forward_est(nnet_x, nnet_z, cfg: SolverConfig):
             jax.lax.stop_gradient(signed), n_power_f,
             threshold=cfg.threshold, eps=cfg.eps_forward,
             stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
+            stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
             interpret=interp)
 
@@ -509,17 +522,22 @@ class ImplicitBlock(Flow):
             series_cap=series_cap,
             n_probes=n_probes,
         )
+        kc = kernel_config()
         self.solver_cfg = SolverConfig(
             eps_forward=eps_forward,
             eps_backward=eps_backward,
             eps_sample=eps_sample,
-            threshold=(kernel_config().fwd_threshold
-                       if kernel_config().fwd_threshold is not None
+            threshold=(kc.fwd_threshold if kc.fwd_threshold is not None
                        else threshold),
-            threshold_backward=(kernel_config().bwd_threshold
-                                if kernel_config().bwd_threshold is not None
+            threshold_backward=(kc.bwd_threshold
+                                if kc.bwd_threshold is not None
                                 else min(4, threshold)),
-            warm_start=(warm_start or kernel_config().warm_start),
+            warm_start=(warm_start or kc.warm_start),
+            stall_patience=(kc.stall_patience if kc.stall_patience > 0
+                            else None),
+            stall_rtol=kc.stall_rtol,
+            stall_guard=kc.stall_guard if kc.stall_guard > 0 else None,
+            newton_init=kc.newton_init,
         )
         self._implicit_forward = _make_implicit_forward(
             self.nnet_x, self.nnet_z, self.solver_cfg
@@ -681,6 +699,8 @@ class ImplicitBlock(Flow):
                 banach_x0=flat(z), banach_threshold=self.solver_cfg.banach_threshold,
                 stall_patience=self.solver_cfg.stall_patience,
                 stall_rtol=self.solver_cfg.stall_rtol,
+                stall_guard=self.solver_cfg.stall_guard,
+                newton_init=self.solver_cfg.newton_init,
             )
         x = unflat(xf)
         if logpz is None:
@@ -699,6 +719,7 @@ class ImplicitBlock(Flow):
             z, data_z, data_x,
             threshold=cfg.threshold, eps=cfg.eps_sample,
             stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
+            stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
             interpret=interp, reps=reps)
         B = z.shape[0]

@@ -105,6 +105,8 @@ def broyden(
     keep_trace: bool = False,
     stall_patience: int | None = None,
     stall_rtol: float = 1e-3,
+    stall_guard: float | None = None,
+    newton_init: bool = False,
 ) -> BroydenResult:
     """Solve ``g(x) = 0`` for a batch of independent problems.
 
@@ -125,6 +127,19 @@ def broyden(
           noise dips (which keep resetting such a counter). The solver
           returns each example's best iterate, so stalling out early trades
           only the tail of convergence, never the achieved quality.
+      stall_guard: only allow the stall exit for examples already within
+          ``stall_guard * eps_i`` of tolerance (the reference's break fires
+          only below ``3 * eps``, broyden.py:165-168). None stalls at any
+          objective — which mid-training can freeze examples far from their
+          root; callers should pass ~3.0 unless they specifically want the
+          unguarded wall-clock bound.
+      newton_init: take ``+g`` as the first direction instead of the
+          reference's ``-g`` (broyden.py:146). For these residuals the
+          Jacobian is ``-(I + J_net)`` with ``|J_net| < 1``, so the Newton
+          direction under the solver's own ``J^-1 ~= -I`` initialisation is
+          ``+g``; the reference's first step moves away from the root and is
+          repaired by the secant updates. Same root either way (the stopping
+          criterion pins it); iterate paths differ.
 
     The solve carries no gradient; wrap in ``stop_gradient``/``custom_vjp`` at
     the call site (the reference's RootFind.backward asserts, broyden callers
@@ -157,7 +172,7 @@ def broyden(
     state = _State(
         x_est=x_est,
         gx=gx,
-        update=-gx,
+        update=gx if newton_init else -gx,
         Us=jnp.zeros((bsz, total, threshold), dtype=dtype),
         VTs=jnp.zeros((bsz, threshold, total), dtype=dtype),
         nstep=jnp.zeros((), jnp.int32),
@@ -199,6 +214,8 @@ def broyden(
         if stall_patience is not None:
             at_check = (nstep % stall_patience) == 0
             stalled = at_check & (best_obj > s.best_snapshot * (1.0 - stall_rtol))
+            if stall_guard is not None:
+                stalled = stalled & (best_obj < stall_guard * eps_i)
             active = active & ~stalled
             best_snapshot = jnp.where(at_check, best_obj, s.best_snapshot)
         else:
@@ -322,6 +339,8 @@ def root_solve(
     banach_threshold: int = 1000,
     stall_patience: int | None = None,
     stall_rtol: float = 1e-3,
+    stall_guard: float | None = None,
+    newton_init: bool = False,
 ) -> tuple[jax.Array, BroydenResult]:
     """Broyden solve with per-example Banach fallback.
 
@@ -335,7 +354,8 @@ def root_solve(
     nothing.
     """
     res = broyden(g, x0, threshold, eps, stall_patience=stall_patience,
-                  stall_rtol=stall_rtol)
+                  stall_rtol=stall_rtol, stall_guard=stall_guard,
+                  newton_init=newton_init)
     if banach_x0 is None:
         banach_x0 = x0
 

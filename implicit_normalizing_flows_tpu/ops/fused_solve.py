@@ -199,7 +199,8 @@ class _PackedLoopState(NamedTuple):
 
 
 def _broyden_in_kernel_packed(resid, z0, *, c8, HW, reps, threshold, eps_i,
-                              stall_patience, stall_rtol):
+                              stall_patience, stall_rtol, stall_guard=None,
+                              newton_init=False):
     """Lane-packed twin of :func:`_broyden_in_kernel`: ``reps`` examples per
     program, each with its own convergence/stall/protective-break state.
     Per-example scalars live as (1, reps) vectors; the rank-1 inner products
@@ -222,7 +223,7 @@ def _broyden_in_kernel_packed(resid, z0, *, c8, HW, reps, threshold, eps_i,
     g0 = resid(z0)
     init_obj = norm(g0)
     s0 = _PackedLoopState(
-        z=z0, gx=g0, update=-g0,
+        z=z0, gx=g0, update=g0 if newton_init else -g0,
         U=(zero_plane,) * K, V=(zero_plane,) * K,
         best_z=z0, best_gx=g0, best_obj=init_obj, best_snap=init_obj,
         best_step=zero_vec, nstep=zero_vec,
@@ -258,6 +259,8 @@ def _broyden_in_kernel_packed(resid, z0, *, c8, HW, reps, threshold, eps_i,
                           * jnp.floor(nstep / stall_patience)) < 0.5)
             stalled = at_check * b2f(
                 best_obj > s.best_snap * (1.0 - stall_rtol))
+            if stall_guard is not None:
+                stalled = stalled * b2f(best_obj < stall_guard * eps_i)
             done = jnp.maximum(done, stalled)
             best_snap = jnp.where(at_check > 0.5, best_obj, s.best_snap)
         else:
@@ -316,7 +319,8 @@ class _LoopState(NamedTuple):
 
 
 def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
-                       stall_patience, stall_rtol):
+                       stall_patience, stall_rtol, stall_guard=None,
+                       newton_init=False):
     """The Broyden while_loop, run entirely inside a kernel for ONE example.
 
     Semantics mirror ``ops.broyden.broyden`` per example (best-iterate,
@@ -342,7 +346,7 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
     g0, aux0 = eval_resid(z0)
     init_obj = norm(g0)
     s0 = _LoopState(
-        z=z0, gx=g0, update=-g0,
+        z=z0, gx=g0, update=g0 if newton_init else -g0,
         U=(zero_plane,) * K, V=(zero_plane,) * K,
         best_z=z0, best_gx=g0, best_aux=aux0, best_obj=init_obj,
         best_snap=init_obj,
@@ -372,7 +376,10 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
         done = bad | (obj < eps_i)
         if stall_patience is not None:
             at_check = (nstep % stall_patience) == 0
-            done = done | (at_check & (best_obj > s.best_snap * (1.0 - stall_rtol)))
+            stalled = at_check & (best_obj > s.best_snap * (1.0 - stall_rtol))
+            if stall_guard is not None:
+                stalled = stalled & (best_obj < stall_guard * eps_i)
+            done = done | stalled
             best_snap = jnp.where(at_check, best_obj, s.best_snap)
         else:
             best_snap = s.best_snap
@@ -412,7 +419,8 @@ def _solve_kernel(betas_ref, x_ref,
                   m1z_ref, m2z_ref, m3z_ref, b1z_ref, b2z_ref, b3z_ref,
                   z_out_ref, g_out_ref, diag_ref,
                   *, H, W, reps, c8, mid, threshold, eps_i, stall_patience,
-                  stall_rtol, preact_x, preact_z, warm_start, mode):
+                  stall_rtol, stall_guard, newton_init, preact_x, preact_z,
+                  warm_start, mode):
     f32 = jnp.float32
     RHW = reps * H * W
     shifted = _make_shifted(H, W, reps)
@@ -436,13 +444,16 @@ def _solve_kernel(betas_ref, x_ref,
         s = _broyden_in_kernel(resid, z0,
                                c8=c8, HW=RHW, threshold=threshold,
                                eps_i=eps_i, stall_patience=stall_patience,
-                               stall_rtol=stall_rtol)
+                               stall_rtol=stall_rtol, stall_guard=stall_guard,
+                               newton_init=newton_init)
     else:
         s = _broyden_in_kernel_packed(resid, z0,
                                       c8=c8, HW=H * W, reps=reps,
                                       threshold=threshold, eps_i=eps_i,
                                       stall_patience=stall_patience,
-                                      stall_rtol=stall_rtol)
+                                      stall_rtol=stall_rtol,
+                                      stall_guard=stall_guard,
+                                      newton_init=newton_init)
 
     z_out_ref[0] = s.best_z
     g_out_ref[0] = s.best_gx
@@ -490,7 +501,7 @@ def _make_apply_jt(shifted, dot, m3, m2, m1, s0, s1, s2, c8, HW):
 def _backward_kernel(grad_ref, s0_ref, s1_ref, s2_ref,
                      m3_ref, m2_ref, m1_ref, u_out_ref,
                      *, H, W, reps, c8, mid, threshold, eps_i, stall_patience,
-                     stall_rtol, mode):
+                     stall_rtol, stall_guard, newton_init, mode):
     """Solve u (I + J_gz) = grad for one example (or ``reps`` lane-packed
     examples), fully in VMEM: the linearization tensors s0/s1/s2 stay
     resident across all iterations (the XLA path re-streams them per VJP
@@ -508,18 +519,22 @@ def _backward_kernel(grad_ref, s0_ref, s1_ref, s2_ref,
         s = _broyden_in_kernel(resid, jnp.zeros((c8, RHW), f32),
                                c8=c8, HW=RHW, threshold=threshold,
                                eps_i=eps_i, stall_patience=stall_patience,
-                               stall_rtol=stall_rtol)
+                               stall_rtol=stall_rtol, stall_guard=stall_guard,
+                               newton_init=newton_init)
     else:
         s = _broyden_in_kernel_packed(resid, jnp.zeros((c8, RHW), f32),
                                       c8=c8, HW=H * W, reps=reps,
                                       threshold=threshold, eps_i=eps_i,
                                       stall_patience=stall_patience,
-                                      stall_rtol=stall_rtol)
+                                      stall_rtol=stall_rtol,
+                                      stall_guard=stall_guard,
+                                      newton_init=newton_init)
     u_out_ref[0] = s.best_z
 
 
 def fused_backward_solve(grad, chain_data, *, threshold, eps,
-                         stall_patience, stall_rtol, mode="bf16",
+                         stall_patience, stall_rtol, stall_guard=None,
+                         newton_init=False, mode="bf16",
                          interpret=False, reps=1):
     """Fused implicit-gradient solve ``u (I + J_gz) = grad``
     (``imBlock.Backward.backward``, reference implicit_block.py:196-206).
@@ -566,7 +581,8 @@ def fused_backward_solve(grad, chain_data, *, threshold, eps,
             functools.partial(_backward_kernel, H=H, W=W, reps=reps, c8=c8,
                               mid=mid, threshold=int(threshold), eps_i=eps_i,
                               stall_patience=stall_patience,
-                              stall_rtol=stall_rtol, mode=mode),
+                              stall_rtol=stall_rtol, stall_guard=stall_guard,
+                              newton_init=newton_init, mode=mode),
             grid=(Bl,),
             in_specs=[pl.BlockSpec((1, c8, RHW), ex),
                       pl.BlockSpec((1, c8, RHW), ex),
@@ -1295,7 +1311,8 @@ def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
                       m3tz_ref, m2tz_ref, m1tz_ref,
                       z_out_ref, g_out_ref, diag_ref, accx_ref, accz_ref,
                       *, H, W, c8, mid, threshold, eps_i, stall_patience,
-                      stall_rtol, preact_x, preact_z, warm_start, mode):
+                      stall_rtol, stall_guard, newton_init, preact_x,
+                      preact_z, warm_start, mode):
     """One example's ENTIRE implicit-block forward compute: the Broyden solve
     (both nets' conv evals in-kernel) followed by BOTH nets' Neumann-chain
     accumulations, with the activation-derivative tensors built from the
@@ -1337,7 +1354,8 @@ def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
     s = _broyden_in_kernel(resid, x if warm_start else jnp.zeros((c8, HW), f32),
                            c8=c8, HW=HW, threshold=threshold, eps_i=eps_i,
                            stall_patience=stall_patience,
-                           stall_rtol=stall_rtol)
+                           stall_rtol=stall_rtol, stall_guard=stall_guard,
+                           newton_init=newton_init)
     # One extra eval at the best iterate for the chain linearization —
     # cheaper than carrying (h1, h2) through the while loop (measured: the
     # bigger carry costs ~2.5 ms/block at 32x32; the eval ~0.7 ms).
@@ -1377,7 +1395,8 @@ def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
 
 def fused_block_forward(x, data_x, data_z, eps_x, eps_z, signed_coeffs,
                         n_power, *, threshold, eps, stall_patience,
-                        stall_rtol, warm_start=False, mode="tf32",
+                        stall_rtol, stall_guard=None, newton_init=False,
+                        warm_start=False, mode="tf32",
                         interpret=False):
     """Fused solve + both Neumann-chain accumulations for one implicit block.
 
@@ -1435,6 +1454,7 @@ def fused_block_forward(x, data_x, data_z, eps_x, eps_z, signed_coeffs,
             _block_fwd_kernel, H=H, W=W, c8=c8, mid=mid,
             threshold=int(threshold), eps_i=eps_i,
             stall_patience=stall_patience, stall_rtol=stall_rtol,
+            stall_guard=stall_guard, newton_init=newton_init,
             preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
             warm_start=bool(warm_start), mode=mode)
         return pl.pallas_call(
@@ -1469,7 +1489,8 @@ def fused_block_forward(x, data_x, data_z, eps_x, eps_z, signed_coeffs,
 
 
 def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
-                        stall_patience, stall_rtol, warm_start=False,
+                        stall_patience, stall_rtol, stall_guard=None,
+                        newton_init=False, warm_start=False,
                         mode="tf32", interpret=False,
                         reps=1) -> FusedSolveResult:
     """Solve ``z : x + g_x(x) = z + g_z(z)`` for a batch, fully in-kernel.
@@ -1524,6 +1545,7 @@ def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
             _solve_kernel, H=H, W=W, reps=reps, c8=c8, mid=mid,
             threshold=int(threshold),
             eps_i=eps_i, stall_patience=stall_patience, stall_rtol=stall_rtol,
+            stall_guard=stall_guard, newton_init=newton_init,
             preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
             warm_start=bool(warm_start), mode=mode)
         return pl.pallas_call(

@@ -72,6 +72,45 @@ def test_root_solve_banach_fallback():
     np.testing.assert_allclose(np.asarray(z), np.asarray(c), atol=1e-5)
 
 
+def test_stall_guard_blocks_far_from_root_stalls():
+    # A slow-linear-convergence residual: per-iteration improvement under
+    # pure Picard would be ~5%; without a guard the monotone-window stall
+    # (patience 5, rtol 0.3 here to force it) freezes rows far from the
+    # root, with guard=3 the stall may only fire within 3x tolerance
+    # (reference broyden.py:165-168 semantics).
+    B, D = 2, 6
+    c = jnp.ones((B, D))
+    # residual with Jacobian -(I + 0.9) .. slow crawl for Broyden's first steps
+    g = lambda x: 0.02 * (c - x)  # tiny gradient => tiny steps initially
+    unguarded = broyden(g, jnp.zeros((B, D)), threshold=60, eps=1e-9,
+                        stall_patience=5, stall_rtol=0.9)
+    guarded = broyden(g, jnp.zeros((B, D)), threshold=60, eps=1e-9,
+                      stall_patience=5, stall_rtol=0.9, stall_guard=3.0)
+    # with rtol 0.9 ("must improve 10x per 5-iter window") the unguarded
+    # solve freezes early and far from the root; the guarded one cannot
+    # freeze until within 3x eps, so it converges.
+    assert bool(jnp.all(guarded.converged))
+    assert float(jnp.max(guarded.diff)) <= float(jnp.max(unguarded.diff))
+
+
+def test_newton_init_same_root_fewer_or_equal_steps():
+    # Residual with Jacobian ~ -(I + J), |J|<1 (the implicit-block form):
+    # g(z) = b - 0.5*tanh(z) - z. newton_init takes +g first instead of -g;
+    # both must reach the same root (criterion-pinned).
+    B, D = 4, 12
+    b = jax.random.normal(jax.random.PRNGKey(3), (B, D))
+    g = lambda z: b - 0.5 * jnp.tanh(z) - z
+    ref = broyden(g, jnp.zeros((B, D)), threshold=40, eps=1e-6,
+                  keep_trace=True)
+    newt = broyden(g, jnp.zeros((B, D)), threshold=40, eps=1e-6,
+                   newton_init=True, keep_trace=True)
+    assert bool(jnp.all(ref.converged)) and bool(jnp.all(newt.converged))
+    np.testing.assert_allclose(np.asarray(ref.result), np.asarray(newt.result),
+                               atol=1e-5)
+    # the -g first step moves away from the root (objective grows); +g shrinks
+    assert float(jnp.max(newt.trace[1])) < float(jnp.min(ref.trace[1]))
+
+
 def test_sharded_batch_runs():
     # The solve must compile and run with the batch sharded over 8 CPU devices.
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
