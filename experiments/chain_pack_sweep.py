@@ -15,9 +15,15 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_one(env_extra):
     env = dict(os.environ, **env_extra)
-    p = subprocess.run([sys.executable, os.path.join(HERE, "bench.py")],
-                       capture_output=True, text=True, env=env, timeout=1500)
+    try:
+        p = subprocess.run([sys.executable, os.path.join(HERE, "bench.py")],
+                           capture_output=True, text=True, env=env,
+                           timeout=1500)
+    except subprocess.TimeoutExpired:
+        return {"error": "bench subprocess timed out (1500s)"}
     line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "{}"
+    if p.returncode != 0:
+        return {"error": f"rc={p.returncode}: {p.stderr[-400:]}"}
     try:
         return json.loads(line)
     except json.JSONDecodeError:
@@ -28,10 +34,13 @@ def main():
     lanes = [int(a) for a in sys.argv[1:]] or [256, 512, 1024, 2048]
     for ln in lanes:
         r = run_one({"IMNF_CHAIN_PACK_LANES": str(ln)})
-        print(json.dumps({"chain_pack_lanes": ln,
-                          "samples_per_sec": r.get("value"),
-                          "step_ms": r.get("step_ms"),
-                          "bpd": r.get("bpd")}), flush=True)
+        row = {"chain_pack_lanes": ln,
+               "samples_per_sec": r.get("value"),
+               "step_ms": r.get("step_ms"),
+               "bpd": r.get("bpd")}
+        if "error" in r:
+            row["error"] = r["error"]
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -24,7 +24,8 @@ def parse(log_path):
         r".*BroydenIters ([\d.]+) \| Converged ([\d.]+)")
     pat_test = re.compile(
         r"Epoch (\d+) \| Test bits/dim ([\d.]+) \((\d+) examples\)"
-        r"(?: \| EvalBroydenIters ([\d.]+) \| EvalConverged ([\d.]+))?")
+        r"(?: \| EvalBroydenIters ([\d.]+) \| EvalConverged ([\d.]+))?"
+        r"(?: \| EvalConvergedMin ([\d.]+))?")
     pat_sig = re.compile(r"Lipschitz constants: \[(.*)\]")
     for line in open(log_path):
         m = pat_train.search(line)
@@ -36,7 +37,8 @@ def parse(log_path):
         if m:
             test.append((int(m.group(1)), float(m.group(2)), int(m.group(3)),
                          float(m.group(4)) if m.group(4) else None,
-                         float(m.group(5)) if m.group(5) else None))
+                         float(m.group(5)) if m.group(5) else None,
+                         float(m.group(6)) if m.group(6) else None))
             continue
         m = pat_sig.search(line)
         if m:
@@ -62,8 +64,12 @@ def main():
         "train_bpd_drop": round(first_avg - last_avg, 4),
         "test_bpd_trajectory": [(e, b) for e, b, *_ in test],
         "test_examples_per_epoch": test[0][2] if test else None,
+        # batch-weighted mean converged per eval (same aggregation as the
+        # train-side Converged meter); the worst-batch min is separate
         "eval_converged_trajectory": [
-            (e, cv) for e, _, _, _, cv in test if cv is not None],
+            (e, cv) for e, _, _, _, cv, *_ in test if cv is not None],
+        "eval_converged_min_trajectory": [
+            (e, cm) for e, _, _, _, _, cm in test if cm is not None],
         "min_converged_fraction": min_converged,
         "broyden_nstep_first": nsteps[0],
         "broyden_nstep_last": nsteps[-1],
@@ -71,9 +77,15 @@ def main():
         "sigma_max_first_epoch": round(max(sigmas[0]), 4) if sigmas else None,
         "sigma_max_last_epoch": round(max(sigmas[-1]), 4) if sigmas else None,
     }
-    # health assertions (VERDICT.md next-round item 2)
+    # health assertions (VERDICT round 2, next-round item 1: healthy means
+    # min converged >= 0.95 on BOTH the train meters and the eval sweeps,
+    # with descending bpd and the solver inside its budget)
+    eval_convs = [cv for *_, cv, _ in test if cv is not None]
+    min_eval_conv = min(eval_convs) if eval_convs else None
+    summary["min_eval_converged"] = min_eval_conv
     summary["healthy"] = bool(
-        last_avg < first_avg and min_converged >= 0.99
+        last_avg < first_avg and min_converged >= 0.95
+        and (min_eval_conv is None or min_eval_conv >= 0.95)
         and max(nsteps) <= 30)
     text = json.dumps(summary, indent=1)
     print(text)

@@ -34,9 +34,17 @@ class StepWindowProfiler:
         self._done = False
 
     def maybe_start(self, step: int) -> None:
+        # ">=" not "==": on a resumed run the first observed step is
+        # begin_epoch * steps_per_epoch, which may already be past
+        # start_step — the window shifts to the first available steps
+        # instead of silently never firing.
         if (self.out_dir is None or self._active or self._done
-                or step != self.start_step):
+                or step < self.start_step):
             return
+        if step > self.start_step:
+            n = self.stop_step - self.start_step
+            self.start_step = step
+            self.stop_step = step + n
         try:
             jax.profiler.start_trace(self.out_dir)
             self._active = True
@@ -46,6 +54,12 @@ class StepWindowProfiler:
         except Exception as e:  # axon/tunnel backends may not support traces
             logging.getLogger().info(f"profiler start failed: {e}")
             self._done = True
+
+    def should_block(self, step: int) -> bool:
+        """True when the caller should block_until_ready before maybe_stop so
+        the trace window contains whole steps (public accessor; callers
+        shouldn't read the private _active/stop_step)."""
+        return self._active and step >= self.stop_step - 1
 
     def maybe_stop(self, step: int) -> None:
         if not self._active or step < self.stop_step - 1:

@@ -441,11 +441,11 @@ def main(argv=None):
     # LIVE weights, and sigma(w_ema) estimated from live-weight u/v is an
     # UNDERestimate — the effective Lipschitz of the EMA net can exceed 1 and
     # the eval fixed-point solves diverge (observed: eval bpd orders of
-    # magnitude off while train bpd descends). The reference shares this
-    # exposure (EMA swaps weights but not spectral-norm buffers,
-    # lib/utils.py:140-169) but trains gently enough not to trip it; here we
-    # re-run the adaptive power iteration against the EMA weights before
-    # evaluating. Pure improvement — ema_val=False eval is untouched.
+    # magnitude off while train bpd descends). This is reference PARITY, not
+    # a divergence: validate() calls update_lipschitz(model) right after
+    # ema.swap() (reference train_img.py:705-707), refreshing the spectral
+    # buffers against the swapped-in EMA weights; we do the same functionally
+    # via a separate eval_state. ema_val=False eval is untouched.
     @jax.jit
     def refresh_sigma_state(p, s):
         return model.update_lipschitz(make_vars(p, s))["state"]
@@ -520,7 +520,12 @@ def main(argv=None):
             pending.append((eval_step(eval_params, eval_state, xv, yv, sub), ny))
             if args.max_iters_per_epoch and len(pending) >= args.max_iters_per_epoch:
                 break
-        val_nstep, val_conv, n_solver = 0.0, 1.0, 0
+        # converged is aggregated BOTH ways: the batch-weighted mean (the
+        # apples-to-apples analog of the train-side Converged meter) and the
+        # worst batch, labelled explicitly (advisor round 2: the min was
+        # logged under a mean-looking name and downstream parsers conflated
+        # the two).
+        val_nstep, val_conv_sum, val_conv_min, n_solver = 0.0, 0.0, 1.0, 0
         for m, ny in pending:
             if args.task in ("density", "hybrid"):
                 val_bpd += float(np.sum(np.asarray(m["bpd_vec"])[:ny]))
@@ -529,14 +534,16 @@ def main(argv=None):
                 val_correct += float(np.sum(np.asarray(m["correct_vec"])[:ny]))
             if "broyden_nstep" in m:
                 val_nstep += float(m["broyden_nstep"])
-                val_conv = min(val_conv, float(m["broyden_converged"]))
+                val_conv_sum += float(m["broyden_converged"])
+                val_conv_min = min(val_conv_min, float(m["broyden_converged"]))
                 n_solver += 1
             val_total += ny
         val_bpd /= max(val_total, 1)
         s = f"{label} | Test bits/dim {val_bpd:.4f} ({val_total} examples)"
         if n_solver:
             s += (f" | EvalBroydenIters {val_nstep / n_solver:.1f}"
-                  f" | EvalConverged {val_conv:.2f}")
+                  f" | EvalConverged {val_conv_sum / n_solver:.2f}"
+                  f" | EvalConvergedMin {val_conv_min:.2f}")
         if args.task in ("classification", "hybrid") and val_total:
             s += (f" | CE {val_ce / val_total:.4f}"
                   f" | Acc {100 * val_correct / val_total:.2f}")
@@ -598,7 +605,7 @@ def main(argv=None):
             params, state, opt_state, shadow, m = train_step(
                 params, state, opt_state, shadow, xb, yb, sub_r, beta_r
             )
-            if prof._active and global_itr >= prof.stop_step - 1:
+            if prof.should_block(global_itr):
                 jax.block_until_ready(m)  # whole step inside the trace window
             prof.maybe_stop(global_itr)
             global_itr += 1
