@@ -377,6 +377,23 @@ def root_solve(
     return z, res._replace(result=z, gx=gz)
 
 
+def triage_metrics(m, name: str = "forward") -> str | None:
+    """Host-side triage of a step's aggregated solver metrics (the in-jit
+    twin of :func:`analyze_broyden` for drivers, which only see the pooled
+    ``solver_stats`` diag, not full BroydenResults). Returns a warning line
+    when the protective break fired this step — the per-row Banach fallback
+    has already patched the affected rows in-step (root_solve), so this is
+    observability, not recovery (reference logs 'Broyden failed' and reruns
+    the whole batch, broyden.py:169-172 + implicit_block.py:74-75)."""
+    prot = float(m.get("broyden_prot_break", 0.0))
+    if prot <= 0:
+        return None
+    return (f"WARNING: Hit Protective Break in {name} solve "
+            f"(per-row Banach fallback applied; "
+            f"BroydenIters {float(m.get('broyden_nstep', 0.0)):.1f}, "
+            f"Converged {float(m.get('broyden_converged', 0.0)):.2f})")
+
+
 def analyze_broyden(res: BroydenResult, judge: bool = True, name: str = "forward"):
     """Host-side solve triage (reference ``analyze_broyden``,
     ``broyden.py:196-236``): classify nan / bad / protective-break outcomes.

@@ -347,16 +347,14 @@ def residual_logdet(
     *,
     neumann: bool,
     exact_trace: bool = False,
-    batch_ndim: int = 1,
 ):
     """Dispatch used by the implicit block for each of its two nets
-    (``_logdetgrad``, implicit_block.py:291-343). ``batch_ndim=2`` supports
-    the stacked-two-nets layout (leading [net, batch] axes)."""
+    (``_logdetgrad``, implicit_block.py:291-343). Callers with a stacked
+    layout vmap this over the stack axis (the round-1 stacked-two-nets
+    estimator was removed after measuring slower than sequential chains)."""
     if exact_trace:
-        if batch_ndim != 1:
-            raise NotImplementedError("exact_trace with stacked nets")
         return exact_trace_logdet(apply_fn, params, x, coeffs)
     if neumann:
         return neumann_logdet_estimator(apply_fn, params, x, vareps, coeffs,
-                                        n_power, batch_ndim)
-    return basic_logdet_estimator(apply_fn, params, x, vareps, coeffs, batch_ndim)
+                                        n_power)
+    return basic_logdet_estimator(apply_fn, params, x, vareps, coeffs)

@@ -111,6 +111,34 @@ def test_newton_init_same_root_fewer_or_equal_steps():
     assert float(jnp.max(newt.trace[1])) < float(jnp.min(ref.trace[1]))
 
 
+def test_analyze_broyden_and_triage():
+    from implicit_normalizing_flows_tpu.ops.broyden import (analyze_broyden,
+                                                            triage_metrics)
+
+    # healthy solve
+    g = lambda x: x + 0.3 * jnp.sin(x) - 1.0
+    ok = broyden(g, jnp.zeros((2, 5)), threshold=30, eps=1e-7)
+    assert analyze_broyden(ok) is False
+    code, _ = analyze_broyden(ok, judge=False)
+    assert code == -1
+
+    # classifier codes on synthetic outcomes (the reference's analyze_broyden
+    # classes: 1=nan result, 2=bad solve, 3=protective break)
+    prot = ok._replace(prot_break=jnp.ones((2,), bool))
+    assert analyze_broyden(prot) is True
+    code, msg = analyze_broyden(prot, judge=False)
+    assert code == 3 and "Protective Break" in msg
+    nan = ok._replace(result=ok.result.at[0, 0].set(jnp.nan))
+    code, msg = analyze_broyden(nan, judge=False)
+    assert code == 1 and "nan" in msg
+
+    # driver-side triage from aggregated step metrics
+    assert triage_metrics({"broyden_prot_break": 0.0}) is None
+    warn = triage_metrics({"broyden_prot_break": 1.0, "broyden_nstep": 12.0,
+                           "broyden_converged": 0.9})
+    assert warn and "Protective Break" in warn
+
+
 def test_sharded_batch_runs():
     # The solve must compile and run with the batch sharded over 8 CPU devices.
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

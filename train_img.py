@@ -29,6 +29,7 @@ from implicit_normalizing_flows_tpu.data.images import (
 from implicit_normalizing_flows_tpu.layers import LogitTransform, Normalize
 from implicit_normalizing_flows_tpu.layers.protocol import make_vars
 from implicit_normalizing_flows_tpu.models import ImplicitFlow
+from implicit_normalizing_flows_tpu.ops.broyden import triage_metrics
 from implicit_normalizing_flows_tpu.config import (
     add_kernel_config_flag,
     apply_kernel_config_flag,
@@ -491,6 +492,9 @@ def main(argv=None):
                 s += (f" | EstMoment {float(m['est_firmom']):.2f}"
                       f"({float(m['est_secmom']):.2f})")
             logger.info(s)
+        warn = triage_metrics(m)
+        if warn:
+            logger.info(f"{warn} [epoch {epoch} iter {i}]")
 
     lag = LaggedMetrics(consume_metrics)
 

@@ -209,6 +209,10 @@ def main(argv=None):
                 s += (f" | EstMoment {float(m['est_firmom']):.2f}"
                       f"({float(m['est_secmom']):.2f})")
             logger.info(s)
+        from implicit_normalizing_flows_tpu.ops.broyden import triage_metrics
+        warn = triage_metrics(m)
+        if warn:
+            logger.info(f"{warn} [epoch {epoch} iter {i}]")
 
     lag = LaggedMetrics(consume_metrics)
 
