@@ -114,7 +114,7 @@ def main():
     nstep = warm_metrics.get("broyden_nstep", 3.0)
     flops = estimate_step_flops(batch, nstep)
     mfu = flops / (dt / steps) / TPU_V5E_PEAK_BF16_FLOPS
-    print(json.dumps({
+    out = {
         "metric": "cifar10_train_samples_per_sec",
         "value": round(samples_per_sec, 3),
         "unit": "samples/s",
@@ -129,7 +129,73 @@ def main():
         "bpd": round(warm_metrics.get("bpd", float("nan")), 4),
         "broyden_nstep": round(nstep, 2),
         "broyden_converged": round(warm_metrics.get("broyden_converged", float("nan")), 3),
-    }))
+    }
+    try:
+        out.update(sustained_section(model, step, optimizer, batch, size, steps))
+    except Exception as e:  # never lose the at-init line to a ckpt mismatch
+        out["sustained_samples_per_sec"] = None
+        out["sustained_note"] = f"sustained section failed: {e}"
+    print(json.dumps(out))
+
+
+SUSTAINED_CKPTS = [
+    # newest healthy-regime artifact first; older round-2 saturated runs as
+    # fallbacks so the sustained number exists even before a round's rerun
+    "experiments/cifar10_long_r3/most_recent.pkl",
+    "experiments/cifar10_long_r2c/most_recent.pkl",
+    "experiments/cifar10_long_r2b/most_recent.pkl",
+]
+
+
+def sustained_section(model, step, optimizer, batch, size, steps):
+    """Mid-training (saturated-Lipschitz) throughput: resume a long-horizon
+    checkpoint and time steps there. The at-init number describes only the
+    first ~100 steps of a run's life (round-2 verdict, weak #1); this is the
+    speed training actually sustains. Skipped (with a marker) when no
+    long-horizon checkpoint exists in the tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from implicit_normalizing_flows_tpu.training import ema_init
+    from implicit_normalizing_flows_tpu.training.checkpoints import load_checkpoint
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ckpt_path = next((os.path.join(here, p) for p in SUSTAINED_CKPTS
+                      if os.path.exists(os.path.join(here, p))), None)
+    if ckpt_path is None:
+        return {"sustained_samples_per_sec": None,
+                "sustained_note": "no long-horizon checkpoint in tree"}
+    ck = load_checkpoint(ckpt_path)
+    # the checkpointed model matches the bench recipe (CIFAR-10 2-2-2);
+    # reuse the already-compiled step with the checkpoint's params/state
+    params, state = ck["params"], ck["state"]
+    opt_state = optimizer.init(params)
+    shadow = ema_init(params)
+    rng_np = np.random.RandomState(1)
+    x_u8 = jnp.asarray(rng_np.randint(0, 256, size=(batch, 3, size, size),
+                                      dtype=np.uint8))
+    y = jnp.zeros((batch,), jnp.int32)
+    key = jax.random.PRNGKey(9)
+    m = None
+    for i in range(5):  # settle optimizer/EMA state
+        key, sub = jax.random.split(key)
+        params, state, opt_state, shadow, m = step(
+            params, state, opt_state, shadow, x_u8, y, sub, jnp.ones(()))
+    warm = {k: float(v) for k, v in m.items()}
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, shadow, m = step(
+            params, state, opt_state, shadow, x_u8, y, sub, jnp.ones(()))
+    _ = float(m["loss"])  # hard sync (see at-init section)
+    dt = time.perf_counter() - t0
+    return {
+        "sustained_samples_per_sec": round(batch * steps / dt, 3),
+        "sustained_step_ms": round(1000 * dt / steps, 3),
+        "broyden_nstep_sustained": round(warm.get("broyden_nstep", float("nan")), 2),
+        "broyden_converged_sustained": round(warm.get("broyden_converged", float("nan")), 3),
+        "sustained_ckpt": os.path.relpath(ckpt_path, here),
+    }
 
 
 def main_with_retries():

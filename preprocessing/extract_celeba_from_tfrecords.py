@@ -23,24 +23,92 @@ def iter_tfrecord(path):
             f.read(4)  # data crc
 
 
-def parse_example_shape_data(raw):
-    """Minimal protobuf walk: find 'shape' int64 list and 'data' bytes in a
-    tf.Example (progressive-GAN record layout)."""
-    # Lazy exact parsing: records store data as a single bytes feature; use
-    # tensorflow if available, else a rigid offset parse.
-    try:
-        import tensorflow as tf  # pragma: no cover
+def _scan_fields(buf):
+    """Iterate (field_number, wire_type, value) over a protobuf message.
+    value is an int for varint fields and a memoryview for length-delimited
+    ones; fixed32/64 are skipped (not used by tf.Example)."""
+    i, n = 0, len(buf)
+    while i < n:
+        tag, i = _read_varint(buf, i)
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:           # varint
+            val, i = _read_varint(buf, i)
+        elif wt == 2:         # length-delimited
+            ln, i = _read_varint(buf, i)
+            val = memoryview(buf)[i:i + ln]
+            i += ln
+        elif wt == 5:         # fixed32
+            val, i = None, i + 4
+        elif wt == 1:         # fixed64
+            val, i = None, i + 8
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field, wt, val
 
-        ex = tf.train.Example()
-        ex.ParseFromString(raw)
-        shape = list(ex.features.feature["shape"].int64_list.value)
-        data = ex.features.feature["data"].bytes_list.value[0]
-        return shape, data
-    except Exception as e:
-        raise RuntimeError(
-            "tfrecord example parsing requires tensorflow for this record "
-            "layout; install TF or convert with the reference script"
-        ) from e
+
+def _read_varint(buf, i):
+    shift, out = 0, 0
+    while True:
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7
+
+
+def _parse_int64_list(buf):
+    """Int64List { repeated int64 value = 1 } — packed or unpacked."""
+    out = []
+    for field, wt, val in _scan_fields(buf):
+        if field != 1:
+            continue
+        if wt == 0:
+            out.append(val)
+        elif wt == 2:  # packed
+            j = 0
+            while j < len(val):
+                v, j = _read_varint(val, j)
+                out.append(v)
+    return out
+
+
+def parse_example_shape_data(raw):
+    """Pure-python protobuf walk of a tf.Example (progressive-GAN record
+    layout): returns (shape int64 list, data bytes). Message graph:
+    Example{1: Features{1: map<string
+    Feature{1: BytesList{1: bytes}, 3: Int64List{1: int64}}>}}.
+    No tensorflow dependency — this image (and most TPU images) don't
+    carry TF1, which the reference's converter requires."""
+    features = None
+    for field, wt, val in _scan_fields(raw):
+        if field == 1 and wt == 2:
+            features = val
+    if features is None:
+        raise ValueError("no Features message in record")
+    shape, data = None, None
+    for field, wt, entry in _scan_fields(features):
+        if field != 1 or wt != 2:
+            continue
+        key, feature = None, None
+        for f2, w2, v2 in _scan_fields(entry):
+            if f2 == 1:
+                key = bytes(v2).decode()
+            elif f2 == 2:
+                feature = v2
+        if key == "shape" and feature is not None:
+            for f3, w3, v3 in _scan_fields(feature):
+                if f3 == 3:  # int64_list
+                    shape = _parse_int64_list(v3)
+        elif key == "data" and feature is not None:
+            for f3, w3, v3 in _scan_fields(feature):
+                if f3 == 1:  # bytes_list
+                    for f4, w4, v4 in _scan_fields(v3):
+                        if f4 == 1:
+                            data = bytes(v4)
+    if shape is None or data is None:
+        raise ValueError("record missing 'shape' or 'data' feature")
+    return shape, data
 
 
 def main():
