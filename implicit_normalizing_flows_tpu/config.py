@@ -97,6 +97,11 @@ class KernelConfig:
     # 1 and is corrected by the secant updates afterwards. newton_init=True
     # starts with +g instead.                               [IMNF_NEWTON_INIT]
     newton_init: bool = True
+    # per-example Armijo backtracking line search on every Broyden step (the
+    # reference's ls flag, broyden.py:24-99,123 — off by default there too).
+    # Opt-in for hard regimes; forces the XLA solver path (the fused kernels
+    # don't implement it).                                  [IMNF_LINE_SEARCH]
+    line_search: bool = False
 
     # --- diagnostics ------------------------------------------------------
     # print per-solve diagnostics from inside the step.     [IMNF_DEBUG_SOLVER]
@@ -133,6 +138,7 @@ _ENV_BY_FIELD = {
     "stall_rtol": "IMNF_STALL_RTOL",
     "stall_guard": "IMNF_STALL_GUARD",
     "newton_init": "IMNF_NEWTON_INIT",
+    "line_search": "IMNF_LINE_SEARCH",
     "debug_solver": "IMNF_DEBUG_SOLVER",
     "ablate": "IMNF_ABLATE",
     "donate": "IMNF_DONATE",

@@ -99,6 +99,9 @@ class SolverConfig:
     # First Broyden direction +g (Newton under the solver's own J^-1 ~= -I
     # init) instead of the reference's -g; see ops.broyden.broyden.
     newton_init: bool = True
+    # Opt-in Armijo line search (reference ls flag); forces the XLA solver
+    # path — the fused kernels don't implement it.
+    line_search: bool = False
 
 
 def _sg(tree):
@@ -127,8 +130,8 @@ def _fused_solve_data(nnet_a, nnet_b, va, vb, x):
     pattern and the device/shape gates pass, else None. IMNF_FUSED_SOLVE=0
     disables, =interpret forces the interpreter path for CPU tests."""
     mode = kernel_config().fused_solve
-    if mode == "0" or x.ndim != 4:
-        return None
+    if mode == "0" or x.ndim != 4 or kernel_config().line_search:
+        return None  # the fused kernels don't implement the Armijo search
     interp = mode == "interpret"
     reps = _pack_reps_for(x)
     if not interp:
@@ -222,6 +225,7 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
                 banach_threshold=cfg.banach_threshold,
                 stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
                 stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
+                line_search=cfg.line_search,
             )
         # The re-attachment value (implicit_block.py:227) needs no extra net
         # evals: z_reatt = x + g_x(x) - g_z(z_hat) = x_embed - g_z(z_hat)
@@ -291,7 +295,8 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
         # IMNF_FUSED_BWD=0 disables, =interpret for CPU tests.
         u = None
         fused_bwd = kernel_config().fused_bwd
-        if fused_bwd != "0" and x.ndim == 4 and bwd_mode in ("bf16", "f32"):
+        if (fused_bwd != "0" and x.ndim == 4 and bwd_mode in ("bf16", "f32")
+                and not cfg.line_search):
             interp = fused_bwd == "interpret"
             reps = _pack_reps_for(x)
             dev_ok = interp or (
@@ -327,6 +332,7 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
                     threshold=cfg.threshold_backward, eps=cfg.eps_backward,
                     stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
                     stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
+                    line_search=cfg.line_search,
                 )
             if kernel_config().debug_solver:
                 jax.debug.print(
@@ -538,6 +544,7 @@ class ImplicitBlock(Flow):
             stall_rtol=kc.stall_rtol,
             stall_guard=kc.stall_guard if kc.stall_guard > 0 else None,
             newton_init=kc.newton_init,
+            line_search=kc.line_search,
         )
         self._implicit_forward = _make_implicit_forward(
             self.nnet_x, self.nnet_z, self.solver_cfg
@@ -595,7 +602,7 @@ class ImplicitBlock(Flow):
                 and not cfg.brute_force):
             return False
         env = kernel_config().fused_block
-        if env == "0":
+        if env == "0" or kernel_config().line_search:
             return False
         if env != "interpret":
             if jax.devices()[0].platform != "tpu":
@@ -701,6 +708,7 @@ class ImplicitBlock(Flow):
                 stall_rtol=self.solver_cfg.stall_rtol,
                 stall_guard=self.solver_cfg.stall_guard,
                 newton_init=self.solver_cfg.newton_init,
+                line_search=self.solver_cfg.line_search,
             )
         x = unflat(xf)
         if logpz is None:

@@ -107,6 +107,7 @@ def broyden(
     stall_rtol: float = 1e-3,
     stall_guard: float | None = None,
     newton_init: bool = False,
+    line_search: bool = False,
 ) -> BroydenResult:
     """Solve ``g(x) = 0`` for a batch of independent problems.
 
@@ -140,6 +141,17 @@ def broyden(
           ``+g``; the reference's first step moves away from the root and is
           repaired by the secant updates. Same root either way (the stopping
           criterion pins it); iterate paths differ.
+      line_search: per-example Armijo backtracking on each Broyden step (the
+          reference's ``ls`` option, broyden.py:24-99, off by default
+          there too). Static two-trial structure for jit: trial s=1 (the
+          normal step, no extra cost), then — only when some row fails the
+          Armijo test ``phi(s) <= phi0*(1 - c1*s)`` with ``phi = |g|^2``,
+          ``c1 = 1e-4`` — one quadratic-interpolant backtrack
+          ``s_q = phi0 / (2 phi_1)`` and one halving, each one extra batched
+          residual eval under ``lax.cond``; every row then takes its best
+          trial. The reference's unbounded cubic loop is replaced by this
+          bounded schedule (same first two trial points; the cubic tail is
+          host-side control flow a TPU program can't express usefully).
 
     The solve carries no gradient; wrap in ``stop_gradient``/``custom_vjp`` at
     the call site (the reference's RootFind.backward asserts, broyden callers
@@ -197,6 +209,41 @@ def broyden(
         # Frozen rows keep their residual bit-exactly (g is pure but this
         # also guards against non-finite garbage rows propagating).
         gx_new = jnp.where(act, gx_new, s.gx)
+        if line_search:
+            c1 = 1e-4
+            phi0 = jnp.sum(s.gx * s.gx, axis=1)
+            phi1 = jnp.sum(gx_new * gx_new, axis=1)
+            fail = s.active & (phi1 > phi0 * (1.0 - c1))
+
+            def backtrack(args):
+                x1, g1 = args
+                # quadratic-interpolant minimizer with derphi0 = -phi0
+                # (reference scalar_search_armijo, broyden.py:31), clamped
+                # to the reference's amin=1e-2
+                sq = jnp.clip(phi0 / (2.0 * phi1 + 1e-30), 1e-2, 1.0)
+                x_q = s.x_est + sq[:, None] * delta_x
+                g_q = jnp.where(act, g(x_q), s.gx)
+                phi_q = jnp.sum(g_q * g_q, axis=1)
+                ok_q = phi_q <= phi0 * (1.0 - c1 * sq)
+                sh = sq * 0.5
+                x_h = s.x_est + sh[:, None] * delta_x
+                g_h = jnp.where(act, g(x_h), s.gx)
+                phi_h = jnp.sum(g_h * g_h, axis=1)
+                ok_h = phi_h <= phi0 * (1.0 - c1 * sh)
+                # acceptance order: quadratic, then halved; rows where both
+                # fail take the full step (the reference uses s=1.0 when the
+                # search returns None)
+                take_q = fail & ok_q
+                take_h = fail & ~ok_q & ok_h
+                x_sel = jnp.where(take_q[:, None], x_q,
+                                  jnp.where(take_h[:, None], x_h, x1))
+                g_sel = jnp.where(take_q[:, None], g_q,
+                                  jnp.where(take_h[:, None], g_h, g1))
+                return x_sel, g_sel
+
+            x_new, gx_new = jax.lax.cond(
+                jnp.any(fail), backtrack, lambda a: a, (x_new, gx_new))
+            delta_x = jnp.where(act, x_new - s.x_est, 0.0)
         delta_gx = gx_new - s.gx
         nstep = s.nstep + 1
 
@@ -341,6 +388,7 @@ def root_solve(
     stall_rtol: float = 1e-3,
     stall_guard: float | None = None,
     newton_init: bool = False,
+    line_search: bool = False,
 ) -> tuple[jax.Array, BroydenResult]:
     """Broyden solve with per-example Banach fallback.
 
@@ -355,7 +403,7 @@ def root_solve(
     """
     res = broyden(g, x0, threshold, eps, stall_patience=stall_patience,
                   stall_rtol=stall_rtol, stall_guard=stall_guard,
-                  newton_init=newton_init)
+                  newton_init=newton_init, line_search=line_search)
     if banach_x0 is None:
         banach_x0 = x0
 

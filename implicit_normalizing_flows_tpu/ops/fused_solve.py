@@ -94,8 +94,14 @@ def _make_dot(mode):
     dn = (((1,), (0,)), ((), ()))
 
     if mode == "f32":
+        # precision=HIGHEST is load-bearing: without it Mosaic demotes f32
+        # dot operands to single-pass bf16 — LOWER precision than the 'tf32'
+        # hi/lo 3-pass path (measured: mid-training solves at the
+        # unqualified dot ran the whole budget with converged 0.01, while
+        # tf32 reached 0.83 — experiments/hard_regime_r3.json).
         def dot(w, t):
-            return jax.lax.dot_general(w, t, dn, preferred_element_type=f32)
+            return jax.lax.dot_general(w, t, dn, preferred_element_type=f32,
+                                       precision=jax.lax.Precision.HIGHEST)
         return dot
 
     if mode == "bf16":

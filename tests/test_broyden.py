@@ -111,6 +111,46 @@ def test_newton_init_same_root_fewer_or_equal_steps():
     assert float(jnp.max(newt.trace[1])) < float(jnp.min(ref.trace[1]))
 
 
+def test_armijo_line_search_same_root_and_tames_overshoot():
+    # Steep residual where full Broyden steps overshoot badly: Armijo rows
+    # must still reach the same root, and never blow past the protective
+    # break on the way (reference ls option, broyden.py:24-99).
+    B, D = 3, 6
+    c = jax.random.normal(jax.random.PRNGKey(5), (B, D))
+    g = lambda x: 5.0 * jnp.tanh(x - c)  # Jacobian up to 5I: s=1 overshoots
+    plain = broyden(g, jnp.zeros((B, D)), threshold=60, eps=1e-6,
+                    keep_trace=True)
+    ls = broyden(g, jnp.zeros((B, D)), threshold=60, eps=1e-6,
+                 line_search=True, keep_trace=True)
+    # on this residual the plain solver converges NO rows (full steps keep
+    # overshooting, best objective ~7); Armijo rows converge to the root
+    n_plain = int(jnp.sum(plain.converged))
+    n_ls = int(jnp.sum(ls.converged))
+    assert n_ls > n_plain
+    conv = np.asarray(ls.converged)
+    np.testing.assert_allclose(np.asarray(ls.result)[conv],
+                               np.asarray(c)[conv], atol=1e-4)
+    assert float(jnp.max(ls.diff)) < float(jnp.min(plain.diff))
+    # the line search keeps the worst transient objective no bigger than the
+    # plain solver's
+    assert float(jnp.max(ls.trace)) <= float(jnp.max(plain.trace)) + 1e-6
+
+
+def test_line_search_noop_on_easy_problem():
+    # contraction-dominated residual: s=1 always passes Armijo, so the LS
+    # solver must match the plain iterate path exactly (the extra-eval branch
+    # never executes)
+    B, D = 2, 8
+    b = jax.random.normal(jax.random.PRNGKey(6), (B, D))
+    g = lambda z: b - 0.3 * jnp.tanh(z) - z
+    plain = broyden(g, jnp.zeros((B, D)), threshold=30, eps=1e-7)
+    ls = broyden(g, jnp.zeros((B, D)), threshold=30, eps=1e-7,
+                 line_search=True)
+    np.testing.assert_allclose(np.asarray(plain.result), np.asarray(ls.result),
+                               atol=1e-6)
+    assert int(plain.nstep) == int(ls.nstep)
+
+
 def test_analyze_broyden_and_triage():
     from implicit_normalizing_flows_tpu.ops.broyden import (analyze_broyden,
                                                             triage_metrics)
