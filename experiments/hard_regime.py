@@ -43,6 +43,8 @@ VARIANTS = [
     # XLA path (no fused kernels) at the same policy, isolates kernel effects
     ("xla_guard3_newton", "stall_guard=3,newton_init=1,fused_solve=0,fused_bwd=0,"
      "fused_chain=0,fused_final=0,fused_reattach=0"),
+    # Armijo line search (forces the XLA solve path)
+    ("guard3_newton_ls", "stall_guard=3,newton_init=1,line_search=1"),
     # truth: high budget, no stall, f32, XLA
     ("truth", "fwd_threshold=120,stall_patience=0,newton_init=1,"
      "solver_precision=float32,fused_solve=0,fused_bwd=0,fused_chain=0,"

@@ -108,6 +108,34 @@ def _sg(tree):
     return jax.tree.map(jax.lax.stop_gradient, tree)
 
 
+def _solver_diag(nstep, converged, prot, diff, eps_i):
+    """Per-block solver telemetry, 5 f32 scalars:
+
+    [max nstep, strict-converged fraction (diff < eps_i), any prot_break,
+     batch-RMS residual over the per-example tolerance, fraction within
+     3x eps_i].
+
+    The RMS ratio is EXACTLY the reference's stopping test: the reference
+    iterates until ``||G||_F < eps * sqrt(B*D)`` (broyden.py:131,146), i.e.
+    until rms_over_tol < 1 — a batch-global criterion that lets individual
+    rows sit above the per-example tolerance. The 3x band is the
+    reference's own acceptance region for its "hardly any progress" break
+    (broyden.py:165-168). Strict per-example convergence (element 1) is
+    HARSHER than anything the reference measures; at saturated Lipschitz
+    constants even an exact f32 budget-120 solve leaves ~5-12% of examples
+    above eps_i (experiments/hard_regime_r3.json) while bpd differs from
+    the truth solve by < 4e-4 — so health is judged on elements 3-4, with
+    element 1 reported for transparency."""
+    diff = diff.astype(jnp.float32)
+    return jnp.stack([
+        jnp.max(nstep).astype(jnp.float32),
+        jnp.mean(converged.astype(jnp.float32)),
+        jnp.any(prot).astype(jnp.float32),
+        jnp.sqrt(jnp.mean(diff ** 2)) / eps_i,
+        jnp.mean((diff < 3.0 * eps_i).astype(jnp.float32)),
+    ])
+
+
 def _fused_solve_mode():
     prec = kernel_config().solver_precision
     return "f32" if prec in ("float32", "highest") else "tf32"
@@ -190,11 +218,9 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
         zf, gf = jax.lax.cond(
             jnp.any(res.prot_break), with_fb, lambda args: args,
             (flat(res.result), flat(res.gx)))
-        diag = jnp.stack([
-            jnp.max(res.nstep).astype(jnp.float32),
-            jnp.mean(res.converged.astype(jnp.float32)),
-            jnp.any(res.prot_break).astype(jnp.float32),
-        ])
+        eps_i = cfg.eps_forward * (x[0].size ** 0.5)
+        diag = _solver_diag(res.nstep, res.converged, res.prot_break,
+                            res.diff, eps_i)
         return unflat(zf), unflat(zf + gf), diag
 
     def solve_z(vars_x, vars_z, x):
@@ -235,12 +261,9 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
         z_reatt = unflat(zf + res.gx)
         # First-class solver telemetry (BASELINE.md: Broyden iters-to-converge
         # tracked as a metric; reference only surfaces it on failure,
-        # broyden.py:165-172): [nstep, mean converged, any prot_break].
-        diag = jnp.stack([
-            res.nstep.astype(jnp.float32),
-            jnp.mean(res.converged.astype(jnp.float32)),
-            jnp.any(res.prot_break).astype(jnp.float32),
-        ])
+        # broyden.py:165-172); see _solver_diag.
+        diag = _solver_diag(res.nstep, res.converged, res.prot_break,
+                            res.diff, res.eps[0])
         return unflat(zf), z_reatt, diag
 
     @jax.custom_vjp
@@ -455,11 +478,9 @@ def _make_implicit_forward_est(nnet_x, nnet_z, cfg: SolverConfig):
         zf, gf, ax, az = jax.lax.cond(
             jnp.any(res.prot_break), with_fb, lambda args: args,
             (flat(res.result), flat(res.gx), flat(acc_x), flat(acc_z)))
-        diag = jnp.stack([
-            jnp.max(res.nstep).astype(jnp.float32),
-            jnp.mean(res.converged.astype(jnp.float32)),
-            jnp.any(res.prot_break).astype(jnp.float32),
-        ])
+        eps_i = cfg.eps_forward * (x[0].size ** 0.5)
+        diag = _solver_diag(res.nstep, res.converged, res.prot_break,
+                            res.diff, eps_i)
         return (unflat(zf), unflat(zf + gf), diag, unflat(ax), unflat(az))
 
     @jax.custom_vjp
@@ -572,8 +593,9 @@ class ImplicitBlock(Flow):
             "last_n_samples": jnp.zeros((self.logdet_cfg.n_samples,), jnp.float32),
             "last_firmom": jnp.zeros((1,), jnp.float32),
             "last_secmom": jnp.zeros((1,), jnp.float32),
-            # [forward nstep, converged fraction, prot_break hit]
-            "solver_diag": jnp.zeros((3,), jnp.float32),
+            # [nstep, converged, prot_break, rms_over_tol, converged_3eps]
+            # (see _solver_diag)
+            "solver_diag": jnp.zeros((5,), jnp.float32),
         }
         return make_vars(params, state)
 

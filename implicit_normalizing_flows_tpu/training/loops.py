@@ -44,9 +44,11 @@ from .ema import ema_apply
 
 def solver_stats(state):
     """Aggregate per-block Broyden telemetry stored by the implicit blocks
-    (state['solver_diag'] = [nstep, converged fraction, prot_break]) into
+    (state['solver_diag'] = [nstep, converged fraction, prot_break,
+    rms_over_tol, converged_3eps] — see implicit_block._solver_diag) into
     step metrics — the first-class iters-to-converge metric BASELINE.md asks
-    for."""
+    for. rms_over_tol pools as the WORST block (the reference's batch-global
+    stopping ratio); converged fractions pool as means over blocks."""
     diags = []
 
     def visit(s):
@@ -62,12 +64,14 @@ def solver_stats(state):
     visit(state)
     if not diags:
         return {}
-    # ScanRepeat stacks per-slice diags to (n, 3); flatten before pooling.
-    d = jnp.concatenate([jnp.reshape(x, (-1, 3)) for x in diags])
+    # ScanRepeat stacks per-slice diags to (n, 5); flatten before pooling.
+    d = jnp.concatenate([jnp.reshape(x, (-1, 5)) for x in diags])
     return {
         "broyden_nstep": jnp.mean(d[:, 0]),
         "broyden_converged": jnp.mean(d[:, 1]),
         "broyden_prot_break": jnp.max(d[:, 2]),
+        "broyden_rms_over_tol": jnp.max(d[:, 3]),
+        "broyden_converged_3eps": jnp.mean(d[:, 4]),
     }
 
 

@@ -487,6 +487,13 @@ def main(argv=None):
             if "broyden_nstep" in m:
                 s += (f" | BroydenIters {float(m['broyden_nstep']):.1f}"
                       f" | Converged {float(m['broyden_converged']):.2f}")
+                if "broyden_converged_3eps" in m:
+                    # 3eps = fraction inside the reference's acceptance band;
+                    # RefRMS = the reference's own batch-global stopping
+                    # ratio, worst block (<1 means the reference's criterion
+                    # is met) — see implicit_block._solver_diag
+                    s += (f" | Conv3eps {float(m['broyden_converged_3eps']):.2f}"
+                          f" | RefRMS {float(m['broyden_rms_over_tol']):.2f}")
             if "est_firmom" in m:
                 # estimator first/second moments (train_img.py:557-564)
                 s += (f" | EstMoment {float(m['est_firmom']):.2f}"
@@ -530,6 +537,7 @@ def main(argv=None):
         # logged under a mean-looking name and downstream parsers conflated
         # the two).
         val_nstep, val_conv_sum, val_conv_min, n_solver = 0.0, 0.0, 1.0, 0
+        val_conv3_sum, val_rms_max = 0.0, 0.0
         for m, ny in pending:
             if args.task in ("density", "hybrid"):
                 val_bpd += float(np.sum(np.asarray(m["bpd_vec"])[:ny]))
@@ -540,6 +548,10 @@ def main(argv=None):
                 val_nstep += float(m["broyden_nstep"])
                 val_conv_sum += float(m["broyden_converged"])
                 val_conv_min = min(val_conv_min, float(m["broyden_converged"]))
+                if "broyden_converged_3eps" in m:
+                    val_conv3_sum += float(m["broyden_converged_3eps"])
+                    val_rms_max = max(val_rms_max,
+                                      float(m["broyden_rms_over_tol"]))
                 n_solver += 1
             val_total += ny
         val_bpd /= max(val_total, 1)
@@ -547,7 +559,9 @@ def main(argv=None):
         if n_solver:
             s += (f" | EvalBroydenIters {val_nstep / n_solver:.1f}"
                   f" | EvalConverged {val_conv_sum / n_solver:.2f}"
-                  f" | EvalConvergedMin {val_conv_min:.2f}")
+                  f" | EvalConvergedMin {val_conv_min:.2f}"
+                  f" | EvalConv3eps {val_conv3_sum / n_solver:.2f}"
+                  f" | EvalRefRMS {val_rms_max:.2f}")
         if args.task in ("classification", "hybrid") and val_total:
             s += (f" | CE {val_ce / val_total:.4f}"
                   f" | Acc {100 * val_correct / val_total:.2f}")
