@@ -38,6 +38,8 @@ VARIANTS = [
     ("nostall", "stall_patience=0,newton_init=1"),
     # raised solve precision
     ("guard3_newton_f32", "stall_guard=3,newton_init=1,solver_precision=float32"),
+    # 4-pass split (3-pass + lo*lo): cheaper than full f32 emulation
+    ("guard3_newton_tf32x", "stall_guard=3,newton_init=1,solver_precision=tf32x"),
     # doubled budget
     ("guard3_newton_b60", "stall_guard=3,newton_init=1,fwd_threshold=60"),
     # XLA path (no fused kernels) at the same policy, isolates kernel effects

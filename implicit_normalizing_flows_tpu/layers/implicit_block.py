@@ -136,9 +136,20 @@ def _solver_diag(nstep, converged, prot, diff, eps_i):
     ])
 
 
+def _xla_solver_precision():
+    """solver_precision as a jax matmul-precision name ('tf32x' is a
+    kernel-only 4-pass mode; the XLA paths run it as tensorfloat32)."""
+    prec = kernel_config().solver_precision
+    return "tensorfloat32" if prec == "tf32x" else prec
+
+
 def _fused_solve_mode():
     prec = kernel_config().solver_precision
-    return "f32" if prec in ("float32", "highest") else "tf32"
+    if prec in ("float32", "highest"):
+        return "f32"
+    if prec == "tf32x":
+        return "tf32x"
+    return "tf32"
 
 
 def _pack_reps_for(x, target=None):
@@ -204,7 +215,7 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
 
         def with_fb(args):
             zb, gb = args
-            prec = kernel_config().solver_precision
+            prec = _xla_solver_precision()
             with jax.default_matmul_precision(prec):
                 x_embed = flat(apply_x(_sg(vx), xs)) + flat(xs)
                 bg = lambda zf: x_embed - flat(apply_z(_sg(vz), unflat(zf)))
@@ -238,7 +249,7 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
         # slow linear crawl that burns the whole 30-iteration budget; at
         # raised precision the solve converges in ~4-5 iterations, which is
         # cheaper even at 3x per-eval cost.
-        prec = kernel_config().solver_precision
+        prec = _xla_solver_precision()
         with jax.default_matmul_precision(prec):
             x_embed = flat(apply_x(vx, x)) + flat(x)
             g = lambda zf: x_embed - flat(apply_z(vz, unflat(zf))) - zf
@@ -462,7 +473,7 @@ def _make_implicit_forward_est(nnet_x, nnet_z, cfg: SolverConfig):
 
         def with_fb(args):
             zb, gb, ax, az = args
-            prec = kernel_config().solver_precision
+            prec = _xla_solver_precision()
             with jax.default_matmul_precision(prec):
                 x_embed = flat(apply_x(vx, xs)) + flat(xs)
                 bg = lambda zf: x_embed - flat(apply_z(vz, unflat(zf)))
@@ -716,7 +727,7 @@ class ImplicitBlock(Flow):
                 return x, None
             logdet, _ = self._logdetgrad(variables, z, x, rng, train=False)
             return x, logpz + logdet
-        prec = kernel_config().solver_precision
+        prec = _xla_solver_precision()
         with jax.default_matmul_precision(prec):
             z_embed = flat(self.nnet_z.apply(vz, z)) + flat(z)
             g = lambda xf: z_embed - flat(self.nnet_x.apply(vx, unflat(xf))) - xf
@@ -757,7 +768,7 @@ class ImplicitBlock(Flow):
         unflat = lambda a: a.reshape(z.shape)
 
         def with_fb(xb):
-            prec = kernel_config().solver_precision
+            prec = _xla_solver_precision()
             with jax.default_matmul_precision(prec):
                 z_embed = flat(self.nnet_z.apply(vz, z)) + flat(z)
                 bg = lambda xf: z_embed - flat(self.nnet_x.apply(vx, unflat(xf)))

@@ -89,7 +89,8 @@ def _split_hi_lo(a):
 
 def _make_dot(mode):
     """(M, K) @ (K, N) -> f32 at the requested precision model:
-    'f32' exact, 'tf32' 3-pass bf16 split, 'bf16' single-pass bf16."""
+    'f32' exact, 'tf32' 3-pass bf16 split, 'tf32x' 4-pass (3-pass + lo*lo),
+    'bf16' single-pass bf16."""
     f32 = jnp.float32
     dn = (((1,), (0,)), ((), ()))
 
@@ -111,12 +112,17 @@ def _make_dot(mode):
                 preferred_element_type=f32)
         return dot
 
+    extra = mode == "tf32x"
+
     def dot(w, t):
         w_hi, w_lo = _split_hi_lo(w)
         t_hi, t_lo = _split_hi_lo(t)
         out = jax.lax.dot_general(w_hi, t_hi, dn, preferred_element_type=f32)
         out += jax.lax.dot_general(w_hi, t_lo, dn, preferred_element_type=f32)
         out += jax.lax.dot_general(w_lo, t_hi, dn, preferred_element_type=f32)
+        if extra:
+            out += jax.lax.dot_general(w_lo, t_lo, dn,
+                                       preferred_element_type=f32)
         return out
 
     return dot
