@@ -171,9 +171,12 @@ def sustained_section(model, step, optimizer, batch, size, steps):
     params, state = ck["params"], ck["state"]
     opt_state = optimizer.init(params)
     shadow = ema_init(params)
-    rng_np = np.random.RandomState(1)
-    x_u8 = jnp.asarray(rng_np.randint(0, 256, size=(batch, 3, size, size),
-                                      dtype=np.uint8))
+    # structured synthetic images — the distribution the checkpoint was
+    # trained on; uniform-noise inputs make the mid-training solves
+    # artificially harder than training ever sees
+    from implicit_normalizing_flows_tpu.data.images import _synthetic_structured
+    x_u8 = jnp.asarray(
+        _synthetic_structured("bench", batch, 3, size, size, seed=1).x)
     y = jnp.zeros((batch,), jnp.int32)
     key = jax.random.PRNGKey(9)
     m = None
