@@ -106,6 +106,46 @@ def _synthetic_structured(name, n, c, h, w, n_classes=10, seed=0, n_modes=6):
     return ImageData(name, x, y, synthetic=True, structured=True)
 
 
+def device_synthetic_structured(key, n, c, h, w, n_classes=10, n_modes=6):
+    """Device-resident twin of :func:`_synthetic_structured` (same
+    distribution, jax PRNG instead of numpy, so draws are not bit-identical):
+    returns (x_u8, y_i32) jax arrays that never leave HBM.
+
+    Motivation (round-3 profiling): each per-step host->device batch
+    transfer costs 45-100 ms through the axon tunnel — more than the whole
+    64 ms training step — making driver loops host-transfer-bound.
+    Generating the synthetic set on device and gathering batches on device
+    removes every per-step transfer.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    k_f, k_p, k_a, k_n, k_y = jax.random.split(key, 5)
+    yy, xx = jnp.meshgrid(jnp.arange(h) / h, jnp.arange(w) / w, indexing="ij")
+    fy = jax.random.randint(k_f, (n, c, n_modes, 2), 0, 4)
+    fxy = fy[..., 0] * 4 + fy[..., 1]                       # (n, c, modes)
+    phase = jax.random.uniform(k_p, (n, c, n_modes), maxval=2 * jnp.pi)
+    amp = jax.random.exponential(k_a, (n, c, n_modes))
+    planes = 2 * jnp.pi * (jnp.arange(4)[:, None, None] * yy.ravel()
+                           + jnp.arange(4)[None, :, None] * xx.ravel())
+    basis = jnp.concatenate([jnp.cos(planes.reshape(16, -1)),
+                             jnp.sin(planes.reshape(16, -1))])  # (32, hw)
+    rows = jnp.arange(n * c)[:, None]
+    idx = fxy.reshape(n * c, n_modes)
+    coefs = jnp.zeros((n * c, 32))
+    coefs = coefs.at[rows, idx].add(amp.reshape(n * c, -1)
+                                    * jnp.cos(phase).reshape(n * c, -1))
+    coefs = coefs.at[rows, idx + 16].add(-amp.reshape(n * c, -1)
+                                         * jnp.sin(phase).reshape(n * c, -1))
+    imgs = (coefs @ basis).reshape(n, c, h, w)
+    imgs = imgs + 0.15 * jax.random.normal(k_n, imgs.shape)
+    lo = jnp.min(imgs, axis=(1, 2, 3), keepdims=True)
+    hi = jnp.max(imgs, axis=(1, 2, 3), keepdims=True)
+    x = ((imgs - lo) / jnp.maximum(hi - lo, 1e-6) * 255).astype(jnp.uint8)
+    y = jax.random.randint(k_y, (n,), 0, n_classes)
+    return x, y
+
+
 def load_cifar10(dataroot, train=True, synthetic_fallback=False, synthetic_n=2048,
                  synthetic_structured=False):
     try:

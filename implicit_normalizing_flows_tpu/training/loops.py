@@ -236,11 +236,31 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
                     add_noise_flag=True, squeeze_first=False,
                     n_lipschitz_iters=None, ema_decay=0.999, learn_p=False,
                     p_penalty_scale=1.0, train=True, mesh=None, accum_steps=1,
-                    scale_dim=False):
+                    scale_dim=False, thread_rng=False):
     """Jitted image train (optimizer given) or eval step for the multiscale
     ImplicitFlow model, fusing the reference's whole iteration
-    (compute_loss train_img.py:517-554 + step + update_lipschitz + EMA)."""
+    (compute_loss train_img.py:517-554 + step + update_lipschitz + EMA).
+
+    Returned metrics are a :class:`~..utils.meters.PackedMetrics` view: all
+    scalars live in ONE device vector so the host pays a single
+    device->host transfer per step instead of one blocking RPC per scalar
+    (a ~2.5x driver-loop speedup through the axon tunnel)."""
     from ..layers.squeeze import squeeze as squeeze_fn
+    from ..utils.meters import PackedMetrics
+
+    packed_names = []  # filled at trace time by _pack (stable: sorted)
+
+    def _pack(metrics):
+        names = sorted(k for k, v in metrics.items() if jnp.ndim(v) == 0)
+        packed_names[:] = names
+        packed = (jnp.stack([metrics[k].astype(jnp.float32) for k in names])
+                  if names else jnp.zeros((0,), jnp.float32))
+        rest = {k: v for k, v in metrics.items() if jnp.ndim(v) != 0}
+        return {"_packed": packed, **rest}
+
+    def _unpack(out):
+        rest = {k: v for k, v in out.items() if k != "_packed"}
+        return PackedMetrics(tuple(packed_names), out["_packed"], rest)
 
     dim_total = imagesize * imagesize * (im_dim + padding)
     dim_data = imagesize * imagesize * im_dim
@@ -322,10 +342,16 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
             # harder than train solves (sigma drift), which is invisible
             # without per-eval nstep/converged.
             metrics.update(solver_stats(st2))
-            return metrics
+            return _pack(metrics)
         step = eval_step
     else:
         def train_step(params, state, opt_state, ema_shadow, x_u8, y, rng, beta):
+            if thread_rng:
+                # The caller passes a DEVICE key and threads the returned
+                # next_key back in: the per-step host-side
+                # jax.random.split dispatch disappears (one fewer tunnel
+                # RPC per step; each costs ~20 ms through this tunnel).
+                rng, next_rng = jax.random.split(rng)
             if accum_steps > 1:
                 # Gradient accumulation (--update-freq, train_img.py:644-650):
                 # x_u8/y arrive stacked (accum, B, ...); one lax.scan
@@ -360,7 +386,8 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
             ema_shadow = ema_apply(ema_shadow, params, ema_decay)
             metrics.update(solver_stats(new_state))
             metrics.update(estimator_stats(new_state))
-            return params, new_state, new_opt_state, ema_shadow, metrics
+            out = (params, new_state, new_opt_state, ema_shadow, _pack(metrics))
+            return out + (next_rng,) if thread_rng else out
         step = train_step
 
     if mesh is not None:
@@ -383,12 +410,22 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
             # out_shardings replicated: the per-example eval vectors must be
             # fully addressable on every process (multi-host eval reads them
             # with np.asarray)
-            return _under_mesh(
+            jitted = _under_mesh(
                 jax.jit(step, in_shardings=(None, None, xs, ys, rep),
                         out_shardings=rep), mesh)
-        return _under_mesh(
+            return lambda *a: _unpack(jitted(*a))
+        jitted = _under_mesh(
             jax.jit(step, in_shardings=(None, None, None, None, xs, ys, rep, rep),
                     donate_argnums=_donate_args((0, 1, 2, 3))), mesh)
-    if optimizer is None:
-        return jax.jit(step)
-    return jax.jit(step, donate_argnums=_donate_args((0, 1, 2, 3)))
+    elif optimizer is None:
+        jitted = jax.jit(step)
+        return lambda *a: _unpack(jitted(*a))
+    else:
+        jitted = jax.jit(step, donate_argnums=_donate_args((0, 1, 2, 3)))
+
+    def run_train(*a):
+        p, s, o, e, m, *k = jitted(*a)
+        out = (p, s, o, e, _unpack(m))
+        return out + tuple(k) if k else out
+
+    return run_train

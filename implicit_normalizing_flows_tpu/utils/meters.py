@@ -40,6 +40,57 @@ class RunningAverageMeter:
         self.val = val
 
 
+class PackedMetrics:
+    """Dict-like view over a step's metrics with all SCALARS packed into one
+    device vector.
+
+    Through the axon TPU tunnel every ``float(m[k])`` is a separate blocking
+    device->host RPC (~10-30 ms); a reference-style log line reads ~8 scalars,
+    which made the real driver loop ~2.5x slower than the bench harness on
+    identical compute (round-3 profiling: train_img 157-166 ms/step vs bench
+    64.5 ms/step). Packing means ONE transfer per step, materialised lazily on
+    first scalar access. Non-scalar metrics (eval per-example vectors) pass
+    through untouched.
+    """
+
+    def __init__(self, names, packed, rest):
+        self._names = list(names)
+        self._packed = packed
+        self._rest = rest
+        self._vals = None
+
+    def _mat(self):
+        if self._vals is None:
+            import numpy as np
+
+            self._vals = np.asarray(self._packed)  # the one transfer
+        return self._vals
+
+    def __contains__(self, k):
+        return k in self._names or k in self._rest
+
+    def __getitem__(self, k):
+        if k in self._rest:
+            return self._rest[k]
+        return self._mat()[self._names.index(k)]
+
+    def get(self, k, default=None):
+        return self[k] if k in self else default
+
+    def keys(self):
+        return list(self._names) + list(self._rest.keys())
+
+    def items(self):
+        return [(k, self[k]) for k in self.keys()]
+
+    def block(self):
+        """Wait for the step's metrics to be computed on device."""
+        import jax
+
+        jax.block_until_ready(self._packed)
+        return self
+
+
 class LaggedMetrics:
     """Defer per-step metric materialisation by one step.
 

@@ -84,7 +84,14 @@ def parse_args(argv=None):
                         "(variance/N; shards over the mesh trace axis)")
     p.add_argument("--n-exact-terms", type=int, default=2)
     p.add_argument("--neumann-grad", type=eval, choices=[True, False], default=True)
-    p.add_argument("--mem-eff", type=eval, choices=[True, False], default=True)
+    # Reference default is True (its MemoryEfficientLogDetEstimator exists to
+    # fit GPU memory, implicit_block.py:373-415; grad_in_forward maps to
+    # jax.checkpoint here). TPU-first default is False: at these batch sizes
+    # HBM is not binding, and the rematerialisation costs 2.2x step time
+    # (131 vs 59 ms/step on the CIFAR recipe) while also bypassing the fused
+    # Neumann-chain kernels (which only run the no-remat path). bpd identical
+    # either way; pass --mem-eff True for the reference's memory profile.
+    p.add_argument("--mem-eff", type=eval, choices=[True, False], default=False)
     p.add_argument("--act", type=str, choices=ACTS, default="sin")
     p.add_argument("--idim", type=int, default=512)
     p.add_argument("--nblocks", type=str, default="16-16-16")
@@ -434,8 +441,15 @@ def main(argv=None):
         n_lipschitz_iters=args.n_lipschitz_iters, learn_p=args.learn_p,
         scale_dim=args.scale_dim,
     )
+    # thread_rng in single-process mode: the step splits its own key on
+    # device and returns the successor, removing a per-step host dispatch
+    # (each host->device RPC costs ~20 ms through the axon tunnel).
+    # Multi-host keeps the host-side split (every process must derive the
+    # SAME key sequence from the replicated seed).
+    thread_rng = n_proc == 1
     train_step = make_image_step(model, optimizer, train=True, mesh=mesh,
-                                 accum_steps=args.update_freq, **step_kwargs)
+                                 accum_steps=args.update_freq,
+                                 thread_rng=thread_rng, **step_kwargs)
     eval_step = make_image_step(model, None, train=False, mesh=mesh, **step_kwargs)
 
     # EMA-eval sigma refresh: the u/v/sigma power-iteration state tracks the
@@ -585,54 +599,129 @@ def main(argv=None):
     global_itr = begin_epoch * steps_per_epoch
     prof = StepWindowProfiler(args.profile_dir, args.profile_start,
                               args.profile_steps)
+    # Per-step host->device RPCs are expensive through the axon tunnel
+    # (~20 ms each): with thread_rng the key lives on device (split inside
+    # the step), the constant-beta scalar is transferred once, and labels —
+    # unused by the density loss — are transferred once.
+    if thread_rng:
+        key, sub0 = jax.random.split(key)
+        dev_key = jax.device_put(sub0)
+    beta_const = jnp.asarray(1.0) if args.annealing_iters <= 0 else None
+    y_cached = None
+
+    # Device-resident synthetic data (round-3 profiling): every per-step
+    # host->device batch transfer costs 45-100 ms through the axon tunnel —
+    # more than the whole training step — so for structured synthetic data
+    # the set is generated in HBM and batches are gathered on device (a
+    # ~0.7 ms dispatch). Host batches remain for real datasets (which need
+    # host-side augmentation) and multi-process runs (per-process shards).
+    use_device_data = (train_data.synthetic and train_data.structured
+                       and n_proc == 1 and mesh is None
+                       and args.update_freq == 1)
+    if use_device_data:
+        from implicit_normalizing_flows_tpu.data.images import (
+            device_synthetic_structured)
+        c_dev = train_data.shape[0]
+        n_dev_data = len(train_data) - len(train_data) % args.batchsize
+
+        def gen_device_data(seed):
+            return device_synthetic_structured(
+                jax.random.PRNGKey(seed), n_dev_data, c_dev,
+                args.imagesize, args.imagesize)
+
+        dev_x, dev_y = jax.jit(gen_device_data, static_argnums=0)(args.seed)
+        logger.info(f"device-resident synthetic train set: {n_dev_data} "
+                    "examples generated in HBM (per-step host transfers "
+                    "eliminated)")
+
+        @jax.jit
+        def next_batch(xd, yd, perm, idx):
+            sel = jax.lax.dynamic_slice_in_dim(
+                perm, idx * args.batchsize, args.batchsize)
+            return xd[sel], yd[sel], idx + 1
+
+        def device_batches(epoch):
+            k = jax.random.fold_in(jax.random.PRNGKey(args.seed), 500 + epoch)
+            perm = jax.random.permutation(k, n_dev_data)
+            idx = jnp.zeros((), jnp.int32)
+            for _ in range(n_dev_data // args.batchsize):
+                xb, yb, idx = next_batch(dev_x, dev_y, perm, idx)
+                yield xb, yb
+
     for epoch in range(begin_epoch, args.nepochs):
         if args.synthetic_infinite and train_data.synthetic and epoch > 0:
             # epoch-indexed seed: deterministic, resume-consistent, and
             # disjoint from the fixed test draw (seed 1)
-            train_data = train_data.regenerate(1000 + epoch)
+            if use_device_data:
+                dev_x, dev_y = jax.jit(gen_device_data,
+                                       static_argnums=0)(1000 + epoch)
+            else:
+                train_data = train_data.regenerate(1000 + epoch)
         last_t[0] = time.time()
-        for i, (x_u8, y) in enumerate(train_data.batches(args.batchsize, np_rng)):
+        batch_iter = (device_batches(epoch) if use_device_data
+                      else train_data.batches(args.batchsize, np_rng))
+        for i, (x_u8, y) in enumerate(batch_iter):
             if args.max_iters_per_epoch and i >= args.max_iters_per_epoch:
                 break
-            if args.task in ("classification", "hybrid") and not train_data.synthetic:
-                x_u8 = random_flip(x_u8, np_rng)
-                x_u8 = random_crop(x_u8, np_rng, 4, args.rcrop_pad_mode)
-            elif args.data == "cifar10" and not train_data.synthetic:
-                x_u8 = random_flip(x_u8, np_rng)
-            beta = min(1.0, global_itr / args.annealing_iters) if args.annealing_iters > 0 else 1.0
-            key, sub = jax.random.split(key)
-            xb, yb = np.ascontiguousarray(x_u8), y
-            if args.update_freq > 1:
-                mb = len(xb) // args.update_freq * args.update_freq
-                xb = xb[:mb].reshape(args.update_freq, -1, *xb.shape[1:])
-                yb = yb[:mb].reshape(args.update_freq, -1)
-            if mesh is not None:
-                b_ax = 1 if args.update_freq > 1 else 0
-                # multi-host: every process computed the same global batch
-                # (shared seed); each feeds only its contiguous shard
-                xb, yb = local_shard(xb, b_ax), local_shard(yb, b_ax)
-                xb, yb = place_batch_axis(mesh, xb, b_ax), place_batch_axis(mesh, yb, b_ax)
+            if use_device_data:
+                xb, yb = x_u8, y  # already device arrays
+                beta = (min(1.0, global_itr / args.annealing_iters)
+                        if args.annealing_iters > 0 else 1.0)
             else:
-                xb, yb = jnp.asarray(xb), jnp.asarray(yb)
-            sub_r, beta_r = sub, jnp.asarray(beta)
+                if args.task in ("classification", "hybrid") and not train_data.synthetic:
+                    x_u8 = random_flip(x_u8, np_rng)
+                    x_u8 = random_crop(x_u8, np_rng, 4, args.rcrop_pad_mode)
+                elif args.data == "cifar10" and not train_data.synthetic:
+                    x_u8 = random_flip(x_u8, np_rng)
+                beta = min(1.0, global_itr / args.annealing_iters) if args.annealing_iters > 0 else 1.0
+                xb, yb = np.ascontiguousarray(x_u8), y
+                if args.update_freq > 1:
+                    mb = len(xb) // args.update_freq * args.update_freq
+                    xb = xb[:mb].reshape(args.update_freq, -1, *xb.shape[1:])
+                    yb = yb[:mb].reshape(args.update_freq, -1)
+                if mesh is not None:
+                    b_ax = 1 if args.update_freq > 1 else 0
+                    # multi-host: every process computed the same global batch
+                    # (shared seed); each feeds only its contiguous shard
+                    xb, yb = local_shard(xb, b_ax), local_shard(yb, b_ax)
+                    xb, yb = place_batch_axis(mesh, xb, b_ax), place_batch_axis(mesh, yb, b_ax)
+                else:
+                    xb = jnp.asarray(xb)
+                    if args.task == "density" and y_cached is not None \
+                            and y_cached.shape == yb.shape:
+                        yb = y_cached  # labels unused by the density loss
+                    else:
+                        yb = jnp.asarray(yb)
+                        if args.task == "density":
+                            y_cached = yb
+            if thread_rng:
+                sub_r = dev_key
+            else:
+                key, sub_r = jax.random.split(key)
+            beta_r = beta_const if beta_const is not None else jnp.asarray(beta)
             if n_proc > 1:
                 # scalars/keys must be global (replicated) arrays under a
                 # multi-process mesh
                 sub_r, beta_r = place_replicated(mesh, sub_r), place_replicated(mesh, beta_r)
             prof.maybe_start(global_itr)
-            params, state, opt_state, shadow, m = train_step(
-                params, state, opt_state, shadow, xb, yb, sub_r, beta_r
-            )
+            out = train_step(params, state, opt_state, shadow, xb, yb,
+                             sub_r, beta_r)
+            if thread_rng:
+                params, state, opt_state, shadow, m, dev_key = out
+            else:
+                params, state, opt_state, shadow, m = out
             if prof.should_block(global_itr):
-                jax.block_until_ready(m)  # whole step inside the trace window
+                m.block()  # whole step inside the trace window
             prof.maybe_stop(global_itr)
             global_itr += 1
             lag.push(m, epoch=epoch, i=i)
             if (args.vis_freq and global_itr % args.vis_freq == 0
                     and args.task != "classification" and n_proc == 1):
                 try:
+                    key, sub_v = jax.random.split(key)
                     visualize(model, make_vars(params, state), x_u8, nvals,
-                              args.padding, args.save, f"e{epoch:03d}i{i:05d}", sub)
+                              args.padding, args.save, f"e{epoch:03d}i{i:05d}",
+                              sub_v)
                 except Exception as e:
                     logger.info(f"viz failed: {e}")
 
