@@ -199,3 +199,26 @@ def test_synthetic_regenerate_infinite_stream():
     from implicit_normalizing_flows_tpu.data.images import ImageData
     real = ImageData("r", d.x.copy())
     assert real.regenerate(5) is real
+
+
+def test_device_synthetic_structured_matches_distribution():
+    """Device-resident twin of the structured generator: same value range/
+    dtype, same strong spatial correlation (it is the same cosine-mixture
+    family, drawn from the jax PRNG instead of numpy)."""
+    import jax
+
+    from implicit_normalizing_flows_tpu.data.images import (
+        _synthetic_structured, device_synthetic_structured)
+
+    x, y = device_synthetic_structured(jax.random.PRNGKey(0), 32, 3, 16, 16)
+    assert x.shape == (32, 3, 16, 16) and x.dtype == jnp.uint8
+    assert y.shape == (32,) and int(y.max()) < 10
+    f = np.asarray(x).astype(np.float32)
+    corr = np.corrcoef(f[:, :, :, :-1].ravel(), f[:, :, :, 1:].ravel())[0, 1]
+    host = _synthetic_structured("t", 32, 3, 16, 16, seed=0)
+    hf = host.x.astype(np.float32)
+    hcorr = np.corrcoef(hf[:, :, :, :-1].ravel(), hf[:, :, :, 1:].ravel())[0, 1]
+    assert corr > 0.7, corr
+    assert abs(corr - hcorr) < 0.15, (corr, hcorr)
+    # per-image min-max normalisation => full dynamic range
+    assert int(x.min()) == 0 and int(x.max()) == 255
