@@ -115,8 +115,21 @@ def make_density_train_step(model, optimizer, *, n_lipschitz_iters=None,
     (SequentialFlow chains: toy/tabular).
 
     Returned step: (params, state, opt_state, ema_shadow, x, rng, beta)
-    -> (params, state, opt_state, ema_shadow, metrics dict).
+    -> (params, state, opt_state, ema_shadow, metrics). Metrics are a
+    PackedMetrics view (all scalars in one device vector -> one
+    device->host transfer per step; see make_image_step).
     """
+    from ..utils.meters import PackedMetrics
+
+    packed_names = []
+
+    def _pack(metrics):
+        names = sorted(metrics)
+        packed_names[:] = names
+        return jnp.stack([metrics[k].astype(jnp.float32) for k in names])
+
+    def _unpack(packed):
+        return PackedMetrics(tuple(packed_names), packed, {})
 
     def loss_fn(params, state, x, rng, beta):
         zeros = jnp.zeros((x.shape[0],), x.dtype)
@@ -155,22 +168,29 @@ def make_density_train_step(model, optimizer, *, n_lipschitz_iters=None,
         }
         metrics.update(solver_stats(new_state))
         metrics.update(estimator_stats(new_state))
-        return params, new_state, opt_state, ema_shadow, metrics
+        return params, new_state, opt_state, ema_shadow, _pack(metrics)
 
     if mesh is not None:
         from ..parallel.mesh import batch_sharding, replicated
 
         rep = replicated(mesh)
         xs = in_shardings if in_shardings is not None else batch_sharding(mesh, 2)
-        return _under_mesh(jax.jit(
+        jitted = _under_mesh(jax.jit(
             step,
             in_shardings=(rep, rep, rep, rep, xs, rep, rep),
             out_shardings=(rep, rep, rep, rep, rep),
             donate_argnums=_donate_args((0, 1, 2, 3)),
         ), mesh)
-    # params/state/opt_state/EMA are consumed and rebound every step — donate
-    # their buffers so XLA updates in place instead of copying.
-    return jax.jit(step, donate_argnums=_donate_args((0, 1, 2, 3)))
+    else:
+        # params/state/opt_state/EMA are consumed and rebound every step —
+        # donate their buffers so XLA updates in place instead of copying.
+        jitted = jax.jit(step, donate_argnums=_donate_args((0, 1, 2, 3)))
+
+    def run(*a):
+        p, s, o, e, m = jitted(*a)
+        return p, s, o, e, _unpack(m)
+
+    return run
 
 
 def make_density_eval_step(model, *, mesh=None, in_shardings=None):
