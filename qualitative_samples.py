@@ -27,7 +27,14 @@ def parse_args():
     p.add_argument("--temperature", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use-ema", type=eval, choices=[True, False], default=True)
-    return p.parse_args()
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu", "axon"],
+                   help="force the jax backend (the site pins JAX_PLATFORMS"
+                        "=axon; env vars alone can't undo that)")
+    args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    return args
 
 
 def save_grid(images, path, nrow):

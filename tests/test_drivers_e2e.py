@@ -90,3 +90,35 @@ runpy.run_path("qualitative_samples.py", run_name="__main__")
     r2 = _run(code2)
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert os.path.exists(out)
+
+
+@pytest.mark.slow
+def test_reduced_bits_dataset_init_finite(tmp_path):
+    """Regression: for nbits < 8 datasets (celeba_5bit: nvals = 32) the
+    model-init batch must apply the bit reduction — the raw (x+0.5)/nvals
+    expression fed values up to 8 into the logit transform and NaN'd the
+    ActNorm init (found preparing the 64px multiscale artifact)."""
+    save = str(tmp_path / "exp5bit")
+    code = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys
+sys.argv = ["train_img.py", "--data", "celeba_5bit", "--nbits", "5",
+            "--synthetic-data", "True", "--synthetic-n", "32",
+            "--actnorm", "True", "--nblocks", "1", "--idim", "8",
+            "--act", "swish", "--kernels", "3-1-3", "--vnorms", "2222",
+            "--factor-out", "True", "--fc-end", "False",
+            "--preact", "True", "--coeff", "0.9",
+            "--n-exact-terms", "1", "--batchsize", "4",
+            "--val-batchsize", "4", "--nepochs", "1", "--ndevices", "1",
+            "--max-iters-per-epoch", "1", "--save", {save!r},
+            "--print-freq", "1", "--seed", "0", "--vis-freq", "0"]
+import runpy
+runpy.run_path("train_img.py", run_name="__main__")
+"""
+    r = _run(code)
+    assert r.returncode == 0, r.stderr[-3000:]
+    log = open(os.path.join(save, "logs")).read()
+    assert "nan" not in log.split("Lipschitz constants:")[-1][:200].lower()
+    import re
+    m = re.search(r"Test bits/dim ([\d.na]+)", log)
+    assert m and m.group(1) != "nan", m

@@ -385,10 +385,15 @@ def main(argv=None):
 
     model, input_size = build_model(args, im_dim, n_classes, init_layer, args.batchsize)
 
-    # init with a real batch (restore pass: train_img.py:502-507)
+    # init with a real batch (restore pass: train_img.py:502-507). The
+    # shared dequantize applies the nbits reduction — (x+0.5)/nvals on raw
+    # uint8 would feed values up to 2^(8-nbits) into the logit transform
+    # for nbits < 8 (celeba_5bit/celebahq) and NaN the ActNorm init.
+    from implicit_normalizing_flows_tpu.training.loops import dequantize as _deq
     x0_u8, _ = next(train_data.batches(args.batchsize, np_rng))
     key, k_init, k_batch = jax.random.split(key, 3)
-    x0 = (jnp.asarray(x0_u8).astype(jnp.float32) + 0.5) / nvals
+    x0 = _deq(jnp.asarray(x0_u8), k_batch, nvals=nvals, nbits=args.nbits,
+              add_noise=False)
     if args.padding > 0:
         pad = jax.random.uniform(k_batch, (x0.shape[0], args.padding) + x0.shape[2:]) / nvals
         x0 = jnp.concatenate([x0, pad], axis=1)
