@@ -59,3 +59,22 @@ def test_sgdr_schedule_matches_reference_formula():
     assert float(sw(0)) < 0.2  # warmup suppresses the start
     np.testing.assert_allclose(float(sw(9)), math.cos(math.pi * 9 / 1000) / 2 + 0.5,
                                rtol=1e-5)
+
+
+def test_packed_metrics_view():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from implicit_normalizing_flows_tpu.utils.meters import PackedMetrics
+
+    names = ("a", "b", "c")
+    packed = jnp.asarray([1.0, 2.5, -3.0])
+    rest = {"vec": jnp.arange(4.0)}
+    m = PackedMetrics(names, packed, rest)
+    assert "a" in m and "vec" in m and "zzz" not in m
+    assert float(m["b"]) == 2.5
+    assert m.get("zzz", 7) == 7
+    np.testing.assert_array_equal(np.asarray(m["vec"]), np.arange(4.0))
+    assert set(m.keys()) == {"a", "b", "c", "vec"}
+    assert dict(m.items())["a"] == 1.0
+    assert m.block() is m
