@@ -14,7 +14,7 @@ timeout 3000 python train_img.py \
   --factor-out True --fc-end True --preact True --coeff 0.9 \
   --n-exact-terms 4 --batchsize 32 --val-batchsize 32 \
   --synthetic-data True --synthetic-structured True --synthetic-n 4096 \
-  --nepochs 3 --max-iters-per-epoch 128 --vis-freq 128 \
+  --nepochs 3 --max-iters-per-epoch 128 --vis-freq 128 --warmup-iters 100 \
   --seed 7 --save "$SAVE" || exit 1
 timeout 900 python qualitative_samples.py \
   --ckpt "$SAVE/most_recent.pkl" --out "$SAVE/samples_t08.png" \
