@@ -222,3 +222,43 @@ def test_device_synthetic_structured_matches_distribution():
     assert abs(corr - hcorr) < 0.15, (corr, hcorr)
     # per-image min-max normalisation => full dynamic range
     assert int(x.min()) == 0 and int(x.max()) == 255
+
+
+def test_solver_telemetry_semantics(tiny_model):
+    """The 5-element solver diag (implicit_block._solver_diag): strict
+    converged <= the 3x-eps band fraction, RefRMS positive, and with
+    everything strictly converged the reference's batch-global criterion
+    (RefRMS < 1) must hold too."""
+    model, v, x = tiny_model
+    from implicit_normalizing_flows_tpu.training.loops import make_image_step
+
+    step = make_image_step(model, None, train=False, im_dim=3, imagesize=8,
+                           task="density")
+    x_u8 = np.random.RandomState(1).randint(0, 256, size=x.shape,
+                                            dtype=np.uint8)
+    y = np.zeros((x.shape[0],), np.int64)
+    m = step(v["params"], v["state"], x_u8, y, jax.random.PRNGKey(9))
+    conv = float(m["broyden_converged"])
+    conv3 = float(m["broyden_converged_3eps"])
+    rms = float(m["broyden_rms_over_tol"])
+    assert 0.0 <= conv <= conv3 <= 1.0, (conv, conv3)
+    assert rms > 0.0
+    if conv == 1.0:
+        assert rms < 1.0, rms
+
+    # thread_rng: the train step returns a successor key that differs from
+    # the input and is deterministic
+    from implicit_normalizing_flows_tpu.training import (adam, ema_init,
+                                                         linear_warmup)
+    optimizer = adam(linear_warmup(1e-3, 10), betas=(0.9, 0.99), grad_clip=1.0)
+    tstep = make_image_step(model, optimizer, im_dim=3, imagesize=8,
+                            task="density", n_lipschitz_iters=2,
+                            thread_rng=True)
+    p, s = v["params"], v["state"]
+    o, e = optimizer.init(p), ema_init(p)
+    k0 = jax.random.PRNGKey(11)
+    *_, m1, k1 = tstep(p, s, o, e, x_u8, y, k0, jnp.ones(()))
+    *_, m2, k2 = tstep(p, s, o, e, x_u8, y, k0, jnp.ones(()))
+    assert not np.array_equal(np.asarray(k0), np.asarray(k1))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    assert float(m1["bpd"]) == float(m2["bpd"])
