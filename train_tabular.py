@@ -216,18 +216,51 @@ def main(argv=None):
 
     lag = LaggedMetrics(consume_metrics)
 
+    # Device-resident train data (single-process): tabular sets fit in HBM
+    # (POWER: 1.6M x 6 f32 = 40 MB), so transfer ONCE and gather batches on
+    # device — each per-step host->device transfer costs 45-100 ms through
+    # the axon tunnel, dwarfing the small tabular step (round-3 profiling,
+    # NOTES_ROUND3.md). Works for real and synthetic data alike (no
+    # host-side augmentation in the tabular pipeline).
+    use_device_data = mesh is None and n_proc == 1
+    if use_device_data:
+        dev_train = jnp.asarray(train_x)
+        n_eff = len(train_x) - len(train_x) % args.batchsize
+
+        @jax.jit
+        def next_batch(xd, perm, idx):
+            sel = jax.lax.dynamic_slice_in_dim(perm, idx * args.batchsize,
+                                               args.batchsize)
+            return xd[sel], idx + 1
+
+        def device_batches(epoch):
+            k = jax.random.fold_in(jax.random.PRNGKey(args.seed), 900 + epoch)
+            perm = jax.random.permutation(k, n_eff)
+            idx = jnp.zeros((), jnp.int32)
+            for _ in range(n_eff // args.batchsize):
+                xb, idx = next_batch(dev_train, perm, idx)
+                yield xb
+
+        logger.info(f"device-resident train set: {n_eff} rows in HBM "
+                    "(per-step host transfers eliminated)")
+
+    beta_const = jnp.asarray(1.0) if args.annealing_iters <= 0 else None
     best_val = math.inf
     global_itr = 0
     for epoch in range(args.nepochs):
         last_t[0] = time.time()
-        for i, xb in enumerate(batch_iterator(train_x, args.batchsize, np_rng)):
+        batch_iter = (device_batches(epoch) if use_device_data
+                      else batch_iterator(train_x, args.batchsize, np_rng))
+        for i, xb in enumerate(batch_iter):
             if args.max_iters_per_epoch and i >= args.max_iters_per_epoch:
                 break
             beta = min(1.0, global_itr / args.annealing_iters) if args.annealing_iters > 0 else 1.0
             key, sub = jax.random.split(key)
-            xb = (place_batch(mesh, local_shard(np.asarray(xb)))
-                  if mesh is not None else jnp.asarray(xb))
-            sub_r, beta_r = sub, jnp.asarray(beta)
+            if not use_device_data:
+                xb = (place_batch(mesh, local_shard(np.asarray(xb)))
+                      if mesh is not None else jnp.asarray(xb))
+            sub_r = sub
+            beta_r = beta_const if beta_const is not None else jnp.asarray(beta)
             if n_proc > 1:
                 sub_r, beta_r = place_replicated(mesh, sub_r), place_replicated(mesh, beta_r)
             params, state, opt_state, shadow, m = train_step(
