@@ -129,6 +129,11 @@ def main():
         "bpd": round(warm_metrics.get("bpd", float("nan")), 4),
         "broyden_nstep": round(nstep, 2),
         "broyden_converged": round(warm_metrics.get("broyden_converged", float("nan")), 3),
+        # the health band next to the throughput (VERDICT r3 item 10):
+        # fraction of examples within 3x eps, and the reference's own
+        # batch-RMS criterion as a multiple of its tolerance
+        "broyden_conv3eps": round(warm_metrics.get("broyden_converged_3eps", float("nan")), 3),
+        "broyden_rms_over_tol": round(warm_metrics.get("broyden_rms_over_tol", float("nan")), 3),
     }
     try:
         out.update(sustained_section(model, step, optimizer, batch, size, steps))
@@ -139,11 +144,14 @@ def main():
 
 
 SUSTAINED_CKPTS = [
-    # newest healthy-regime artifact first; older round-2 saturated runs as
-    # fallbacks so the sustained number exists even before a round's rerun
+    # newest healthy-regime artifact first; bench_ckpt.pkl is the committed
+    # compact (params+state only) export that survives fresh clones — the
+    # round-3 full checkpoints were gitignored and lost between rounds,
+    # which silently dropped the sustained section from the first r4 bench
+    "experiments/cifar10_long_r4/most_recent.pkl",
+    "experiments/cifar10_long_r4/bench_ckpt.pkl",
     "experiments/cifar10_long_r3/most_recent.pkl",
     "experiments/cifar10_long_r2c/most_recent.pkl",
-    "experiments/cifar10_long_r2b/most_recent.pkl",
 ]
 
 
@@ -192,11 +200,16 @@ def sustained_section(model, step, optimizer, batch, size, steps):
             params, state, opt_state, shadow, x_u8, y, sub, jnp.ones(()))
     _ = float(m["loss"])  # hard sync (see at-init section)
     dt = time.perf_counter() - t0
+    nstep = warm.get("broyden_nstep", float("nan"))
+    flops = estimate_step_flops(batch, nstep)
     return {
         "sustained_samples_per_sec": round(batch * steps / dt, 3),
         "sustained_step_ms": round(1000 * dt / steps, 3),
-        "broyden_nstep_sustained": round(warm.get("broyden_nstep", float("nan")), 2),
+        "sustained_mfu_est": round(flops / (dt / steps) / TPU_V5E_PEAK_BF16_FLOPS, 4),
+        "broyden_nstep_sustained": round(nstep, 2),
         "broyden_converged_sustained": round(warm.get("broyden_converged", float("nan")), 3),
+        "broyden_conv3eps_sustained": round(warm.get("broyden_converged_3eps", float("nan")), 3),
+        "broyden_rms_over_tol_sustained": round(warm.get("broyden_rms_over_tol", float("nan")), 3),
         "sustained_ckpt": os.path.relpath(ckpt_path, here),
     }
 

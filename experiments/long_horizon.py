@@ -107,6 +107,20 @@ def main():
     summary["healthy"] = bool(
         last_avg < first_avg and train_band >= 0.95 and eval_band >= 0.95
         and max(nsteps) <= 30)
+    # Secondary STRICT gate (advisor round 3): the per-example eps criterion
+    # no longer gates `healthy`, but a strict-convergence regression must
+    # stay visible in the artifact — warn when the worst train batch drops
+    # below the floor the hard-regime lab measured for an exact f32 solve
+    # (~0.88 strict at saturated weights). With the round-4 precision-ladder
+    # defaults strict convergence should be ~1.0 everywhere; a dip below the
+    # floor means the ladder regressed or was disabled.
+    STRICT_FLOOR = 0.85
+    summary["strict_converged_floor"] = STRICT_FLOOR
+    summary["strict_converged_warn"] = bool(min_converged < STRICT_FLOOR)
+    if summary["strict_converged_warn"]:
+        summary["strict_converged_note"] = (
+            f"worst-batch strict converged {min_converged:.3f} < "
+            f"{STRICT_FLOOR} — check solver_tail/ladder config")
     text = json.dumps(summary, indent=1)
     print(text)
     if out:

@@ -36,6 +36,17 @@ class KernelConfig:
     reattach_precision: str = "bf16"
     # run the Neumann estimator chains in bfloat16.              [IMNF_BF16_EST]
     bf16_est: bool = True
+    # precision-ladder tail for the fused forward/inverse solves: after
+    # solver-precision iterations converge/stall/cap out, re-arm the
+    # still-unconverged examples at this precision ("f32") under the same
+    # shared iteration budget. Fixes the tf32 arithmetic noise floor
+    # (experiments/hard_regime_r3_final.json: ~17% of mid-training examples
+    # stuck between eps and 3x eps) without paying f32 on the examples that
+    # don't need it. "" disables.                           [IMNF_SOLVER_TAIL]
+    solver_tail: str = "f32"
+    # forced phase-1 iteration cap before the ladder switches precision even
+    # without a stall exit; 0 = auto (threshold // 2).     [IMNF_LADDER_START]
+    ladder_start: int = 0
 
     # --- Pallas kernel gates ---------------------------------------------
     # fused forward/inverse Broyden solve kernel: "0" (XLA while_loop),
@@ -73,7 +84,9 @@ class KernelConfig:
     final_form: str = "vjp"
 
     # --- solver budgets / behavior ---------------------------------------
-    # warm-start the forward solve from the previous root.    [IMNF_WARM_START]
+    # initialize the forward solve at z0 = x (the block input) instead of
+    # zeros. NOT a cross-step root cache: each solve is independent; the
+    # reference's init is zeros (implicit_block.py:73).     [IMNF_WARM_START]
     warm_start: bool = True
     # override the forward / backward Broyden iteration budgets
     # (None = the block's constructor arguments).  [IMNF_FWD_THRESHOLD / _BWD_]
@@ -119,6 +132,8 @@ _ENV_BY_FIELD = {
     "bwd_precision": "IMNF_BWD_PRECISION",
     "reattach_precision": "IMNF_REATTACH_PRECISION",
     "bf16_est": "IMNF_BF16_EST",
+    "solver_tail": "IMNF_SOLVER_TAIL",
+    "ladder_start": "IMNF_LADDER_START",
     "fused_solve": "IMNF_FUSED_SOLVE",
     "fused_solve_min_hw": "IMNF_FUSED_SOLVE_MIN_HW",
     "fused_bwd": "IMNF_FUSED_BWD",
@@ -159,15 +174,35 @@ def _coerce(field_type, name, raw):
     return raw
 
 
+def reference_semantics() -> KernelConfig:
+    """Solver-behavior knobs pinned to the installed reference's semantics
+    for apples-to-apples parity runs (advisor round 3): zero-init solves
+    (implicit_block.py:73), -g first direction (broyden.py:146), no
+    per-example stall exit (the reference's stall break is batch-global,
+    broyden.py:165-168), no precision ladder. Enable with
+    IMNF_REFERENCE_SEMANTICS=1 (env overrides still apply on top); drivers
+    additionally default --mem-eff to True under it."""
+    return KernelConfig(
+        warm_start=False, newton_init=False, stall_patience=0,
+        solver_tail="", solver_precision="float32")
+
+
+def reference_semantics_requested() -> bool:
+    return os.environ.get("IMNF_REFERENCE_SEMANTICS", "") not in ("", "0")
+
+
 def from_env() -> KernelConfig:
-    """KernelConfig with IMNF_* environment overrides applied."""
+    """KernelConfig with IMNF_* environment overrides applied (on top of the
+    reference-semantics preset when IMNF_REFERENCE_SEMANTICS=1)."""
+    base = reference_semantics() if reference_semantics_requested() \
+        else KernelConfig()
     kwargs = {}
     for f in fields(KernelConfig):
         raw = os.environ.get(_ENV_BY_FIELD[f.name])
         if raw is not None:
             kwargs[f.name] = _coerce(f.type if isinstance(f.type, str) else
                                      f.type.__name__, f.name, raw)
-    return KernelConfig(**kwargs)
+    return replace(base, **kwargs)
 
 
 _override: KernelConfig | None = None

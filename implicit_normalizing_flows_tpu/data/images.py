@@ -59,12 +59,40 @@ class ImageData:
             yield self.x[sel], self.y[sel]
 
 
+_LABEL_RULE_SEED = 12345  # FIXED, independent of the image seed
+_LABEL_POOL = 4           # labels read a (c, POOL, POOL) average-pooled view
+
+
+def _label_projection(c, n_classes):
+    """The fixed random projection defining the synthetic label rule:
+    y = argmax_k <P_k, avgpool(x)> (VERDICT round 3, item 5 — a LEARNABLE
+    rule, so train_classification.py can demonstrate accuracy >> chance
+    in-image; previously labels were uniform noise, unlearnable by
+    construction). Seeded independently of the image draw, so the rule is
+    identical across train/test splits and ``regenerate`` redraws."""
+    rng = np.random.RandomState(_LABEL_RULE_SEED)
+    return rng.standard_normal(
+        (n_classes, c * _LABEL_POOL * _LABEL_POOL)).astype(np.float32)
+
+
+def _labels_from_rule(x_u8, n_classes):
+    """(N, C, H, W) uint8 -> (N,) int64 labels via the fixed projection."""
+    n, c, h, w = x_u8.shape
+    p = _LABEL_POOL
+    f = x_u8.astype(np.float32) / 255.0 - 0.5
+    # average-pool to (p, p); crops the remainder so any h, w works
+    hb, wb = h // p, w // p
+    f = f[:, :, :hb * p, :wb * p].reshape(n, c, p, hb, p, wb).mean((3, 5))
+    logits = f.reshape(n, -1) @ _label_projection(c, n_classes).T
+    return np.argmax(logits, axis=1).astype(np.int64)
+
+
 def _synthetic(name, n, c, h, w, n_classes=10, seed=0, structured=False):
     rng = np.random.RandomState(seed)
     if structured:
         return _synthetic_structured(name, n, c, h, w, n_classes, seed)
     x = rng.randint(0, 256, size=(n, c, h, w), dtype=np.uint8)
-    y = rng.randint(0, n_classes, size=(n,)).astype(np.int64)
+    y = _labels_from_rule(x, n_classes)
     return ImageData(name, x, y, synthetic=True, structured=False)
 
 
@@ -102,7 +130,7 @@ def _synthetic_structured(name, n, c, h, w, n_classes=10, seed=0, n_modes=6):
     lo = imgs.min(axis=(1, 2, 3), keepdims=True)
     hi = imgs.max(axis=(1, 2, 3), keepdims=True)
     x = ((imgs - lo) / np.maximum(hi - lo, 1e-6) * 255).astype(np.uint8)
-    y = rng.randint(0, n_classes, size=(n,)).astype(np.int64)
+    y = _labels_from_rule(x, n_classes)
     return ImageData(name, x, y, synthetic=True, structured=True)
 
 
@@ -142,7 +170,13 @@ def device_synthetic_structured(key, n, c, h, w, n_classes=10, n_modes=6):
     lo = jnp.min(imgs, axis=(1, 2, 3), keepdims=True)
     hi = jnp.max(imgs, axis=(1, 2, 3), keepdims=True)
     x = ((imgs - lo) / jnp.maximum(hi - lo, 1e-6) * 255).astype(jnp.uint8)
-    y = jax.random.randint(k_y, (n,), 0, n_classes)
+    del k_y  # labels come from the same FIXED rule as the host generator
+    p = _LABEL_POOL
+    hb, wb = h // p, w // p
+    f = x.astype(jnp.float32) / 255.0 - 0.5
+    f = f[:, :, :hb * p, :wb * p].reshape(n, c, p, hb, p, wb).mean((3, 5))
+    proj = jnp.asarray(_label_projection(c, n_classes))
+    y = jnp.argmax(f.reshape(n, -1) @ proj.T, axis=1).astype(jnp.int32)
     return x, y
 
 

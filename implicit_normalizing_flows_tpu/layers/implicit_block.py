@@ -152,6 +152,22 @@ def _fused_solve_mode():
     return "tf32"
 
 
+def _ladder_args(threshold):
+    """Precision-ladder kwargs for the fused solves (config.solver_tail):
+    phase 1 at solver_precision, unconverged examples re-armed at the tail
+    precision under the shared budget. No-op when the base mode already is
+    the tail mode or the ladder is disabled."""
+    kc = kernel_config()
+    t = kc.solver_tail
+    if not t or t in ("none", "0"):
+        return {}
+    mode = _fused_solve_mode()
+    if mode == "f32" or t == mode:
+        return {}
+    start = kc.ladder_start if kc.ladder_start > 0 else max(1, threshold // 2)
+    return {"tail_mode": t, "tail_start": min(start, threshold)}
+
+
 def _pack_reps_for(x, target=None):
     """Examples lane-packed per kernel program for this input's spatial
     dims (``ops.fused_chain.choose_reps``): 1 at 32x32, up to 16 at the 8x8
@@ -207,7 +223,7 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
             stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
             stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
-            interpret=interp, reps=reps)
+            interpret=interp, reps=reps, **_ladder_args(cfg.threshold))
 
         B = x.shape[0]
         flat = lambda a: a.reshape(B, -1)
@@ -465,7 +481,7 @@ def _make_implicit_forward_est(nnet_x, nnet_z, cfg: SolverConfig):
             stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
             stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
-            interpret=interp)
+            interpret=interp, **_ladder_args(cfg.threshold))
 
         B = x.shape[0]
         flat = lambda a: a.reshape(B, -1)
@@ -762,7 +778,7 @@ class ImplicitBlock(Flow):
             stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
             stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
-            interpret=interp, reps=reps)
+            interpret=interp, reps=reps, **_ladder_args(cfg.threshold))
         B = z.shape[0]
         flat = lambda a: a.reshape(B, -1)
         unflat = lambda a: a.reshape(z.shape)

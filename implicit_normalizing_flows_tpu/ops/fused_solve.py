@@ -212,14 +212,20 @@ class _PackedLoopState(NamedTuple):
 
 def _broyden_in_kernel_packed(resid, z0, *, c8, HW, reps, threshold, eps_i,
                               stall_patience, stall_rtol, stall_guard=None,
-                              newton_init=False):
+                              newton_init=False, tail=None, tail_start=None):
     """Lane-packed twin of :func:`_broyden_in_kernel`: ``reps`` examples per
     program, each with its own convergence/stall/protective-break state.
     Per-example scalars live as (1, reps) vectors; the rank-1 inner products
     become segment sums (one small matmul each). Frozen (done) examples'
     state is write-masked — identical per-example semantics to running each
     example in its own program, modulo the shared loop trip count (extra
-    iterations only recompute frozen values and mask the writes)."""
+    iterations only recompute frozen values and mask the writes).
+
+    ``tail``/``tail_start``: the same precision ladder as the scalar variant.
+    The tail engages if ANY lane is unconverged-and-unbroken after phase 1;
+    only those lanes are re-armed (re-evaluated residual at their best
+    iterate, secant factors kept) — converged lane-mates' state is masked
+    through untouched."""
     # Mosaic cannot yield vector masks (i1) or narrow int vectors from an
     # scf loop region — every per-example flag/counter in the carry is a
     # (1, reps) f32 0/1 vector (booleans live only as temporaries).
@@ -241,76 +247,112 @@ def _broyden_in_kernel_packed(resid, z0, *, c8, HW, reps, threshold, eps_i,
         best_step=zero_vec, nstep=zero_vec,
         prot=zero_vec, done=b2f(init_obj < eps_i))
 
-    def cond(s):
-        return jnp.max((1.0 - s.done) * b2f(s.nstep < threshold)) > 0.5
+    def make_loop(resid, cap):
+        def cond(s):
+            return jnp.max((1.0 - s.done) * b2f(s.nstep < cap)) > 0.5
 
-    def body(s):
-        active = (1.0 - s.done) * b2f(s.nstep < threshold)   # (1, reps) f32
-        act_l = to_lanes(active)
-        z_new = s.z + s.update * act_l
-        g_new = resid(z_new)
-        delta_g = (g_new - s.gx) * act_l
-        nstep = s.nstep + active
-        obj = norm(g_new)
+        def body(s):
+            active = (1.0 - s.done) * b2f(s.nstep < cap)     # (1, reps) f32
+            act_l = to_lanes(active)
+            z_new = s.z + s.update * act_l
+            g_new = resid(z_new)
+            delta_g = (g_new - s.gx) * act_l
+            nstep = s.nstep + active
+            obj = norm(g_new)
 
-        improved = active * b2f(obj < s.best_obj)
-        imp_l = to_lanes(improved)
-        best_z = jnp.where(imp_l > 0.5, z_new, s.best_z)
-        best_gx = jnp.where(imp_l > 0.5, g_new, s.best_gx)
-        best_obj = jnp.where(improved > 0.5, obj, s.best_obj)
-        best_step = jnp.where(improved > 0.5, nstep, s.best_step)
+            improved = active * b2f(obj < s.best_obj)
+            imp_l = to_lanes(improved)
+            best_z = jnp.where(imp_l > 0.5, z_new, s.best_z)
+            best_gx = jnp.where(imp_l > 0.5, g_new, s.best_gx)
+            best_obj = jnp.where(improved > 0.5, obj, s.best_obj)
+            best_step = jnp.where(improved > 0.5, nstep, s.best_step)
 
-        bad = active * b2f(~jnp.isfinite(obj)
-                           | (obj > init_obj * _PROTECT_THRES))
-        prot = jnp.maximum(s.prot, bad)
-        done = jnp.maximum(s.done,
-                           jnp.maximum(bad, active * b2f(obj < eps_i)))
-        if stall_patience is not None:
-            at_check = active * b2f(
-                jnp.floor(nstep - stall_patience
-                          * jnp.floor(nstep / stall_patience)) < 0.5)
-            stalled = at_check * b2f(
-                best_obj > s.best_snap * (1.0 - stall_rtol))
-            if stall_guard is not None:
-                stalled = stalled * b2f(best_obj < stall_guard * eps_i)
-            done = jnp.maximum(done, stalled)
-            best_snap = jnp.where(at_check > 0.5, best_obj, s.best_snap)
-        else:
-            best_snap = s.best_snap
+            bad = active * b2f(~jnp.isfinite(obj)
+                               | (obj > init_obj * _PROTECT_THRES))
+            prot = jnp.maximum(s.prot, bad)
+            done = jnp.maximum(s.done,
+                               jnp.maximum(bad, active * b2f(obj < eps_i)))
+            if stall_patience is not None:
+                at_check = active * b2f(
+                    jnp.floor(nstep - stall_patience
+                              * jnp.floor(nstep / stall_patience)) < 0.5)
+                stalled = at_check * b2f(
+                    best_obj > s.best_snap * (1.0 - stall_rtol))
+                if stall_guard is not None:
+                    stalled = stalled * b2f(best_obj < stall_guard * eps_i)
+                done = jnp.maximum(done, stalled)
+                best_snap = jnp.where(at_check > 0.5, best_obj, s.best_snap)
+            else:
+                best_snap = s.best_snap
 
-        # Rank-1 secant update, per-example contractions via segment sums.
-        UVd = zero_plane
+            # Rank-1 secant update, per-example contractions via segment sums.
+            UVd = zero_plane
+            UVg = zero_plane
+            vT = -s.update
+            for k in range(K):
+                UVd = UVd + s.U[k] * to_lanes(seg_sum(s.V[k] * delta_g))
+                UVg = UVg + s.U[k] * to_lanes(seg_sum(s.V[k] * g_new))
+                vT = vT + s.V[k] * to_lanes(seg_sum(s.U[k] * s.update))
+            matvec_dgx = -delta_g + UVd
+            matvec_gx = -g_new + UVg
+            denom_l = to_lanes(seg_sum(vT * delta_g))
+            u = (s.update - matvec_dgx) / denom_l
+            vT = jnp.where(jnp.isfinite(vT), vT, 0.0)
+            u = jnp.where(jnp.isfinite(u), u, 0.0)
+
+            # circular column index (nstep - 1) mod K, in f32 arithmetic
+            col = nstep - 1.0
+            col = col - K * jnp.floor(col / K)
+            U, V = [], []
+            for k in range(K):
+                wk = to_lanes(active * b2f(jnp.abs(col - k) < 0.5))
+                U.append(jnp.where(wk > 0.5, u, s.U[k]))
+                V.append(jnp.where(wk > 0.5, vT, s.V[k]))
+            update = -matvec_gx - u * to_lanes(seg_sum(vT * g_new))
+
+            return _PackedLoopState(z=z_new, gx=g_new, update=update,
+                                    U=tuple(U), V=tuple(V),
+                                    best_z=best_z, best_gx=best_gx,
+                                    best_obj=best_obj, best_snap=best_snap,
+                                    best_step=best_step, nstep=nstep, prot=prot,
+                                    done=done)
+
+        return cond, body
+
+    cap1 = threshold if tail is None else min(int(tail_start), threshold)
+    cond1, body1 = make_loop(resid, cap1)
+    s = jax.lax.while_loop(cond1, body1, s0)
+    if tail is None:
+        return s
+
+    def run_tail(s):
+        resid_t = tail()
+        need = (1.0 - s.prot) * b2f(s.best_obj >= eps_i)     # (1, reps)
+        nl = to_lanes(need)
+        g_b = resid_t(s.best_z)
+        obj = norm(g_b)
+        # re-apply the carried inverse-Jacobian estimate to the re-evaluated
+        # residual for the re-armed lanes; frozen lanes keep their state.
         UVg = zero_plane
-        vT = -s.update
         for k in range(K):
-            UVd = UVd + s.U[k] * to_lanes(seg_sum(s.V[k] * delta_g))
-            UVg = UVg + s.U[k] * to_lanes(seg_sum(s.V[k] * g_new))
-            vT = vT + s.V[k] * to_lanes(seg_sum(s.U[k] * s.update))
-        matvec_dgx = -delta_g + UVd
-        matvec_gx = -g_new + UVg
-        denom_l = to_lanes(seg_sum(vT * delta_g))
-        u = (s.update - matvec_dgx) / denom_l
-        vT = jnp.where(jnp.isfinite(vT), vT, 0.0)
-        u = jnp.where(jnp.isfinite(u), u, 0.0)
+            UVg = UVg + s.U[k] * to_lanes(seg_sum(s.V[k] * g_b))
+        s2 = _PackedLoopState(
+            z=jnp.where(nl > 0.5, s.best_z, s.z),
+            gx=jnp.where(nl > 0.5, g_b, s.gx),
+            update=jnp.where(nl > 0.5, g_b - UVg, s.update),
+            U=s.U, V=s.V,
+            best_z=s.best_z,
+            best_gx=jnp.where(nl > 0.5, g_b, s.best_gx),
+            best_obj=jnp.where(need > 0.5, obj, s.best_obj),
+            best_snap=jnp.where(need > 0.5, obj, s.best_snap),
+            best_step=s.best_step, nstep=s.nstep, prot=s.prot,
+            done=jnp.where(need > 0.5,
+                           jnp.maximum(s.prot, b2f(obj < eps_i)), s.done))
+        cond2, body2 = make_loop(resid_t, threshold)
+        return jax.lax.while_loop(cond2, body2, s2)
 
-        # circular column index (nstep - 1) mod K, in f32 arithmetic
-        col = nstep - 1.0
-        col = col - K * jnp.floor(col / K)
-        U, V = [], []
-        for k in range(K):
-            wk = to_lanes(active * b2f(jnp.abs(col - k) < 0.5))
-            U.append(jnp.where(wk > 0.5, u, s.U[k]))
-            V.append(jnp.where(wk > 0.5, vT, s.V[k]))
-        update = -matvec_gx - u * to_lanes(seg_sum(vT * g_new))
-
-        return _PackedLoopState(z=z_new, gx=g_new, update=update,
-                                U=tuple(U), V=tuple(V),
-                                best_z=best_z, best_gx=best_gx,
-                                best_obj=best_obj, best_snap=best_snap,
-                                best_step=best_step, nstep=nstep, prot=prot,
-                                done=done)
-
-    return jax.lax.while_loop(cond, body, s0)
+    any_need = jnp.max((1.0 - s.prot) * b2f(s.best_obj >= eps_i)) > 0.5
+    return jax.lax.cond(any_need, run_tail, lambda s: s, s)
 
 
 class _LoopState(NamedTuple):
@@ -332,7 +374,7 @@ class _LoopState(NamedTuple):
 
 def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
                        stall_patience, stall_rtol, stall_guard=None,
-                       newton_init=False):
+                       newton_init=False, tail=None, tail_start=None):
     """The Broyden while_loop, run entirely inside a kernel for ONE example.
 
     Semantics mirror ``ops.broyden.broyden`` per example (best-iterate,
@@ -345,17 +387,30 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
     ``resid`` may return either ``g`` or ``(g, aux)`` where aux is a tuple of
     per-eval byproducts (e.g. pre-activation tensors); the returned state
     carries the best iterate's aux alongside it.
+
+    Precision ladder: with ``tail`` (a nullary closure building a
+    higher-precision residual fn), phase 1 runs ``resid`` until convergence,
+    stall, protective break, or ``tail_start`` iterations; if the example is
+    then neither converged nor broken, it re-arms — continue from the best
+    iterate, its residual re-evaluated by the tail fn so the tail phase is
+    precision-consistent, keeping the built-up secant factors — and polishes
+    under the remaining shared ``threshold`` budget. The whole tail
+    (including the one re-evaluation) sits under a ``lax.cond``, so programs
+    whose examples all converged in phase 1 pay nothing.
     """
     f32 = jnp.float32
     norm = lambda g: jnp.sqrt(jnp.sum(g * g))
     K = threshold
     zero_plane = jnp.zeros((c8, HW), f32)
 
-    def eval_resid(z):
-        out = resid(z)
-        return out if isinstance(out, tuple) else (out, ())
+    def wrap(fn):
+        def eval_resid(z):
+            out = fn(z)
+            return out if isinstance(out, tuple) else (out, ())
+        return eval_resid
 
-    g0, aux0 = eval_resid(z0)
+    eval0 = wrap(resid)
+    g0, aux0 = eval0(z0)
     init_obj = norm(g0)
     s0 = _LoopState(
         z=z0, gx=g0, update=g0 if newton_init else -g0,
@@ -365,65 +420,92 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
         best_step=jnp.zeros((), jnp.int32), nstep=jnp.zeros((), jnp.int32),
         prot=jnp.zeros((), jnp.bool_), done=init_obj < eps_i)
 
-    def cond(s):
-        return jnp.logical_not(s.done) & (s.nstep < threshold)
+    def make_loop(eval_resid, cap):
+        def cond(s):
+            return jnp.logical_not(s.done) & (s.nstep < cap)
 
-    def body(s):
-        z_new = s.z + s.update
-        g_new, aux_new = eval_resid(z_new)
-        delta_g = g_new - s.gx
-        nstep = s.nstep + 1
-        obj = norm(g_new)
+        def body(s):
+            z_new = s.z + s.update
+            g_new, aux_new = eval_resid(z_new)
+            delta_g = g_new - s.gx
+            nstep = s.nstep + 1
+            obj = norm(g_new)
 
-        improved = obj < s.best_obj
-        best_z = jnp.where(improved, z_new, s.best_z)
-        best_gx = jnp.where(improved, g_new, s.best_gx)
-        best_aux = tuple(jnp.where(improved, a_new, a_old)
-                         for a_new, a_old in zip(aux_new, s.best_aux))
-        best_obj = jnp.where(improved, obj, s.best_obj)
-        best_step = jnp.where(improved, nstep, s.best_step)
+            improved = obj < s.best_obj
+            best_z = jnp.where(improved, z_new, s.best_z)
+            best_gx = jnp.where(improved, g_new, s.best_gx)
+            best_aux = tuple(jnp.where(improved, a_new, a_old)
+                             for a_new, a_old in zip(aux_new, s.best_aux))
+            best_obj = jnp.where(improved, obj, s.best_obj)
+            best_step = jnp.where(improved, nstep, s.best_step)
 
-        bad = ~jnp.isfinite(obj) | (obj > init_obj * _PROTECT_THRES)
-        prot = s.prot | bad
-        done = bad | (obj < eps_i)
-        if stall_patience is not None:
-            at_check = (nstep % stall_patience) == 0
-            stalled = at_check & (best_obj > s.best_snap * (1.0 - stall_rtol))
-            if stall_guard is not None:
-                stalled = stalled & (best_obj < stall_guard * eps_i)
-            done = done | stalled
-            best_snap = jnp.where(at_check, best_obj, s.best_snap)
-        else:
-            best_snap = s.best_snap
+            bad = ~jnp.isfinite(obj) | (obj > init_obj * _PROTECT_THRES)
+            prot = s.prot | bad
+            done = bad | (obj < eps_i)
+            if stall_patience is not None:
+                at_check = (nstep % stall_patience) == 0
+                stalled = at_check & (best_obj > s.best_snap * (1.0 - stall_rtol))
+                if stall_guard is not None:
+                    stalled = stalled & (best_obj < stall_guard * eps_i)
+                done = done | stalled
+                best_snap = jnp.where(at_check, best_obj, s.best_snap)
+            else:
+                best_snap = s.best_snap
 
-        # Rank-1 secant update (broyden.py:174-181); all contractions are
-        # elementwise-multiply + scalar-reduce over (c8, HW) planes.
-        UVd = zero_plane
+            # Rank-1 secant update (broyden.py:174-181); all contractions are
+            # elementwise-multiply + scalar-reduce over (c8, HW) planes.
+            UVd = zero_plane
+            UVg = zero_plane
+            vT = -s.update
+            for k in range(K):
+                UVd = UVd + s.U[k] * jnp.sum(s.V[k] * delta_g)
+                UVg = UVg + s.U[k] * jnp.sum(s.V[k] * g_new)
+                vT = vT + s.V[k] * jnp.sum(s.U[k] * s.update)
+            matvec_dgx = -delta_g + UVd
+            matvec_gx = -g_new + UVg
+            denom = jnp.sum(vT * delta_g)
+            u = (s.update - matvec_dgx) / denom
+            vT = jnp.where(jnp.isfinite(vT), vT, 0.0)
+            u = jnp.where(jnp.isfinite(u), u, 0.0)
+
+            col = (nstep - 1) % threshold
+            U = tuple(jnp.where(col == k, u, s.U[k]) for k in range(K))
+            V = tuple(jnp.where(col == k, vT, s.V[k]) for k in range(K))
+            update = -matvec_gx - u * jnp.sum(vT * g_new)
+
+            return _LoopState(z=z_new, gx=g_new, update=update, U=U, V=V,
+                              best_z=best_z, best_gx=best_gx,
+                              best_aux=best_aux, best_obj=best_obj,
+                              best_snap=best_snap, best_step=best_step,
+                              nstep=nstep, prot=prot, done=done)
+
+        return cond, body
+
+    cap1 = threshold if tail is None else min(int(tail_start), threshold)
+    cond1, body1 = make_loop(eval0, cap1)
+    s = jax.lax.while_loop(cond1, body1, s0)
+    if tail is None:
+        return s
+
+    def run_tail(s):
+        eval_t = wrap(tail())
+        g_b, aux_b = eval_t(s.best_z)
+        obj = norm(g_b)
+        # re-apply the carried inverse-Jacobian estimate to the re-evaluated
+        # residual: update = -(-g + sum_k U_k <V_k, g>)
         UVg = zero_plane
-        vT = -s.update
         for k in range(K):
-            UVd = UVd + s.U[k] * jnp.sum(s.V[k] * delta_g)
-            UVg = UVg + s.U[k] * jnp.sum(s.V[k] * g_new)
-            vT = vT + s.V[k] * jnp.sum(s.U[k] * s.update)
-        matvec_dgx = -delta_g + UVd
-        matvec_gx = -g_new + UVg
-        denom = jnp.sum(vT * delta_g)
-        u = (s.update - matvec_dgx) / denom
-        vT = jnp.where(jnp.isfinite(vT), vT, 0.0)
-        u = jnp.where(jnp.isfinite(u), u, 0.0)
+            UVg = UVg + s.U[k] * jnp.sum(s.V[k] * g_b)
+        s2 = _LoopState(
+            z=s.best_z, gx=g_b, update=g_b - UVg, U=s.U, V=s.V,
+            best_z=s.best_z, best_gx=g_b, best_aux=aux_b, best_obj=obj,
+            best_snap=obj, best_step=s.best_step, nstep=s.nstep,
+            prot=s.prot, done=s.prot | (obj < eps_i))
+        cond2, body2 = make_loop(eval_t, threshold)
+        return jax.lax.while_loop(cond2, body2, s2)
 
-        col = (nstep - 1) % threshold
-        U = tuple(jnp.where(col == k, u, s.U[k]) for k in range(K))
-        V = tuple(jnp.where(col == k, vT, s.V[k]) for k in range(K))
-        update = -matvec_gx - u * jnp.sum(vT * g_new)
-
-        return _LoopState(z=z_new, gx=g_new, update=update, U=U, V=V,
-                          best_z=best_z, best_gx=best_gx, best_aux=best_aux,
-                          best_obj=best_obj, best_snap=best_snap,
-                          best_step=best_step, nstep=nstep, prot=prot,
-                          done=done)
-
-    return jax.lax.while_loop(cond, body, s0)
+    need = jnp.logical_not(s.prot) & (s.best_obj >= eps_i)
+    return jax.lax.cond(need, run_tail, lambda s: s, s)
 
 
 def _solve_kernel(betas_ref, x_ref,
@@ -432,7 +514,7 @@ def _solve_kernel(betas_ref, x_ref,
                   z_out_ref, g_out_ref, diag_ref,
                   *, H, W, reps, c8, mid, threshold, eps_i, stall_patience,
                   stall_rtol, stall_guard, newton_init, preact_x, preact_z,
-                  warm_start, mode):
+                  warm_start, mode, tail_mode=None, tail_start=None):
     f32 = jnp.float32
     RHW = reps * H * W
     shifted = _make_shifted(H, W, reps)
@@ -452,12 +534,30 @@ def _solve_kernel(betas_ref, x_ref,
     resid = lambda z: x_embed - eval_z(z) - z
     z0 = x if warm_start else jnp.zeros((c8, RHW), f32)
 
+    tail = None
+    if tail_mode is not None:
+        dot_t = _make_dot(tail_mode)
+        eval_x_t = _make_eval(shifted, dot_t, m1x_ref[:], m2x_ref[:],
+                              m3x_ref[:], b1x, b2x, b3x, betas_ref[0],
+                              betas_ref[1], betas_ref[2], preact_x, c8, RHW)
+        eval_z_t = _make_eval(shifted, dot_t, m1z_ref[:], m2z_ref[:],
+                              m3z_ref[:], b1z, b2z, b3z, betas_ref[3],
+                              betas_ref[4], betas_ref[5], preact_z, c8, RHW)
+
+        def tail():
+            # the embedding re-evaluated at tail precision, so the polished
+            # residual is precision-consistent end to end; this sits inside
+            # the ladder's lax.cond, so fully-converged programs skip it.
+            xe_t = x + eval_x_t(x)
+            return lambda z: xe_t - eval_z_t(z) - z
+
     if reps == 1:
         s = _broyden_in_kernel(resid, z0,
                                c8=c8, HW=RHW, threshold=threshold,
                                eps_i=eps_i, stall_patience=stall_patience,
                                stall_rtol=stall_rtol, stall_guard=stall_guard,
-                               newton_init=newton_init)
+                               newton_init=newton_init, tail=tail,
+                               tail_start=tail_start)
     else:
         s = _broyden_in_kernel_packed(resid, z0,
                                       c8=c8, HW=H * W, reps=reps,
@@ -465,7 +565,8 @@ def _solve_kernel(betas_ref, x_ref,
                                       stall_patience=stall_patience,
                                       stall_rtol=stall_rtol,
                                       stall_guard=stall_guard,
-                                      newton_init=newton_init)
+                                      newton_init=newton_init, tail=tail,
+                                      tail_start=tail_start)
 
     z_out_ref[0] = s.best_z
     g_out_ref[0] = s.best_gx
@@ -1324,7 +1425,8 @@ def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
                       z_out_ref, g_out_ref, diag_ref, accx_ref, accz_ref,
                       *, H, W, c8, mid, threshold, eps_i, stall_patience,
                       stall_rtol, stall_guard, newton_init, preact_x,
-                      preact_z, warm_start, mode):
+                      preact_z, warm_start, mode, tail_mode=None,
+                      tail_start=None):
     """One example's ENTIRE implicit-block forward compute: the Broyden solve
     (both nets' conv evals in-kernel) followed by BOTH nets' Neumann-chain
     accumulations, with the activation-derivative tensors built from the
@@ -1363,11 +1465,26 @@ def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
         gz, _ = eval_z(z)
         return x_embed - gz - z
 
+    tail = None
+    if tail_mode is not None:
+        dot_t = _make_dot(tail_mode)
+        eval_x_t = _make_eval(shifted, dot_t, m1x_ref[:], m2x_ref[:],
+                              m3x_ref[:], b1x_ref[:], b2x_ref[:], b3x_ref[:],
+                              *bx, preact_x, c8, HW)
+        eval_z_t = _make_eval(shifted, dot_t, m1z_ref[:], m2z_ref[:],
+                              m3z_ref[:], b1z_ref[:], b2z_ref[:], b3z_ref[:],
+                              *bz, preact_z, c8, HW)
+
+        def tail():
+            xe_t = x + eval_x_t(x)
+            return lambda z: xe_t - eval_z_t(z) - z
+
     s = _broyden_in_kernel(resid, x if warm_start else jnp.zeros((c8, HW), f32),
                            c8=c8, HW=HW, threshold=threshold, eps_i=eps_i,
                            stall_patience=stall_patience,
                            stall_rtol=stall_rtol, stall_guard=stall_guard,
-                           newton_init=newton_init)
+                           newton_init=newton_init, tail=tail,
+                           tail_start=tail_start)
     # One extra eval at the best iterate for the chain linearization —
     # cheaper than carrying (h1, h2) through the while loop (measured: the
     # bigger carry costs ~2.5 ms/block at 32x32; the eval ~0.7 ms).
@@ -1408,8 +1525,8 @@ def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
 def fused_block_forward(x, data_x, data_z, eps_x, eps_z, signed_coeffs,
                         n_power, *, threshold, eps, stall_patience,
                         stall_rtol, stall_guard=None, newton_init=False,
-                        warm_start=False, mode="tf32",
-                        interpret=False):
+                        warm_start=False, mode="tf32", tail_mode=None,
+                        tail_start=None, interpret=False):
     """Fused solve + both Neumann-chain accumulations for one implicit block.
 
     ``eps_x``/``eps_z``: (B, c, H, W) Rademacher probes. ``signed_coeffs``:
@@ -1468,7 +1585,8 @@ def fused_block_forward(x, data_x, data_z, eps_x, eps_z, signed_coeffs,
             stall_patience=stall_patience, stall_rtol=stall_rtol,
             stall_guard=stall_guard, newton_init=newton_init,
             preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
-            warm_start=bool(warm_start), mode=mode)
+            warm_start=bool(warm_start), mode=mode, tail_mode=tail_mode,
+            tail_start=None if tail_start is None else int(tail_start))
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -1503,8 +1621,8 @@ def fused_block_forward(x, data_x, data_z, eps_x, eps_z, signed_coeffs,
 def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
                         stall_patience, stall_rtol, stall_guard=None,
                         newton_init=False, warm_start=False,
-                        mode="tf32", interpret=False,
-                        reps=1) -> FusedSolveResult:
+                        mode="tf32", tail_mode=None, tail_start=None,
+                        interpret=False, reps=1) -> FusedSolveResult:
     """Solve ``z : x + g_x(x) = z + g_z(z)`` for a batch, fully in-kernel.
 
     Args:
@@ -1517,6 +1635,11 @@ def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
       warm_start: start from x instead of zeros.
       mode: 'tf32' (3-pass bf16 split, matches IMNF_SOLVER_PRECISION default)
         or 'f32'.
+      tail_mode / tail_start: precision ladder — run the first phase at
+        ``mode`` up to ``tail_start`` iterations, then re-arm still-
+        unconverged examples at ``tail_mode`` (typically 'f32') under the
+        same shared ``threshold`` budget. Converged examples never pay the
+        higher precision (the whole tail sits under a lax.cond).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1559,7 +1682,8 @@ def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
             eps_i=eps_i, stall_patience=stall_patience, stall_rtol=stall_rtol,
             stall_guard=stall_guard, newton_init=newton_init,
             preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
-            warm_start=bool(warm_start), mode=mode)
+            warm_start=bool(warm_start), mode=mode, tail_mode=tail_mode,
+            tail_start=None if tail_start is None else int(tail_start))
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,

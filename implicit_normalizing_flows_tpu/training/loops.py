@@ -119,17 +119,9 @@ def make_density_train_step(model, optimizer, *, n_lipschitz_iters=None,
     PackedMetrics view (all scalars in one device vector -> one
     device->host transfer per step; see make_image_step).
     """
-    from ..utils.meters import PackedMetrics
+    from ..utils.meters import make_metric_packer
 
-    packed_names = []
-
-    def _pack(metrics):
-        names = sorted(metrics)
-        packed_names[:] = names
-        return jnp.stack([metrics[k].astype(jnp.float32) for k in names])
-
-    def _unpack(packed):
-        return PackedMetrics(tuple(packed_names), packed, {})
+    _pack, _unpack = make_metric_packer()
 
     def loss_fn(params, state, x, rng, beta):
         zeros = jnp.zeros((x.shape[0],), x.dtype)
@@ -266,21 +258,9 @@ def make_image_step(model, optimizer=None, *, im_dim, imagesize, nvals=256,
     device->host transfer per step instead of one blocking RPC per scalar
     (a ~2.5x driver-loop speedup through the axon tunnel)."""
     from ..layers.squeeze import squeeze as squeeze_fn
-    from ..utils.meters import PackedMetrics
+    from ..utils.meters import make_metric_packer
 
-    packed_names = []  # filled at trace time by _pack (stable: sorted)
-
-    def _pack(metrics):
-        names = sorted(k for k, v in metrics.items() if jnp.ndim(v) == 0)
-        packed_names[:] = names
-        packed = (jnp.stack([metrics[k].astype(jnp.float32) for k in names])
-                  if names else jnp.zeros((0,), jnp.float32))
-        rest = {k: v for k, v in metrics.items() if jnp.ndim(v) != 0}
-        return {"_packed": packed, **rest}
-
-    def _unpack(out):
-        rest = {k: v for k, v in out.items() if k != "_packed"}
-        return PackedMetrics(tuple(packed_names), out["_packed"], rest)
+    _pack, _unpack = make_metric_packer()
 
     dim_total = imagesize * imagesize * (im_dim + padding)
     dim_data = imagesize * imagesize * im_dim

@@ -72,6 +72,8 @@ class PackedMetrics:
     def __getitem__(self, k):
         if k in self._rest:
             return self._rest[k]
+        if k not in self._names:
+            raise KeyError(k)  # dict duck-typing: not list.index's ValueError
         return self._mat()[self._names.index(k)]
 
     def get(self, k, default=None):
@@ -89,6 +91,32 @@ class PackedMetrics:
 
         jax.block_until_ready(self._packed)
         return self
+
+
+def make_metric_packer():
+    """(pack, unpack) pair shared by the step builders: ``pack`` folds every
+    SCALAR metric into one device vector (one device->host transfer per step
+    through the tunnel) and passes non-scalar metrics through untouched;
+    ``unpack`` restores the PackedMetrics dict view. Both step families
+    (density and image) use this so a future non-scalar metric never fails
+    at trace time in one of them (advisor round-3 finding)."""
+    import jax.numpy as jnp
+
+    packed_names = []  # filled at trace time by pack (stable: sorted)
+
+    def pack(metrics):
+        names = sorted(k for k, v in metrics.items() if jnp.ndim(v) == 0)
+        packed_names[:] = names
+        packed = (jnp.stack([metrics[k].astype(jnp.float32) for k in names])
+                  if names else jnp.zeros((0,), jnp.float32))
+        rest = {k: v for k, v in metrics.items() if jnp.ndim(v) != 0}
+        return {"_packed": packed, **rest}
+
+    def unpack(out):
+        rest = {k: v for k, v in out.items() if k != "_packed"}
+        return PackedMetrics(tuple(packed_names), out["_packed"], rest)
+
+    return pack, unpack
 
 
 class LaggedMetrics:

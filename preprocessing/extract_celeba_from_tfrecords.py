@@ -35,6 +35,10 @@ def _scan_fields(buf):
             val, i = _read_varint(buf, i)
         elif wt == 2:         # length-delimited
             ln, i = _read_varint(buf, i)
+            if i + ln > n:
+                raise ValueError(
+                    "truncated protobuf: length-delimited field of "
+                    f"{ln} bytes at offset {i} overruns buffer of {n}")
             val = memoryview(buf)[i:i + ln]
             i += ln
         elif wt == 5:         # fixed32
@@ -48,7 +52,12 @@ def _scan_fields(buf):
 
 def _read_varint(buf, i):
     shift, out = 0, 0
+    n = len(buf)
     while True:
+        if i >= n:
+            raise ValueError(
+                "truncated protobuf: varint runs past end of buffer "
+                f"(offset {i} of {n})")
         b = buf[i]
         i += 1
         out |= (b & 0x7F) << shift
@@ -80,16 +89,19 @@ def parse_example_shape_data(raw):
     Feature{1: BytesList{1: bytes}, 3: Int64List{1: int64}}>}}.
     No tensorflow dependency — this image (and most TPU images) don't
     carry TF1, which the reference's converter requires."""
-    features = None
-    for field, wt, val in _scan_fields(raw):
-        if field == 1 and wt == 2:
-            features = val
-    if features is None:
+    # protobuf merge semantics: repeated occurrences of an embedded message
+    # field are CONCATENATED, so collect every field-1 (Features) chunk and
+    # walk each one's map entries (a record split across occurrences would
+    # otherwise silently lose its earlier features).
+    features = [val for field, wt, val in _scan_fields(raw)
+                if field == 1 and wt == 2]
+    if not features:
         raise ValueError("no Features message in record")
+    entries = [entry for chunk in features
+               for field, wt, entry in _scan_fields(chunk)
+               if field == 1 and wt == 2]
     shape, data = None, None
-    for field, wt, entry in _scan_fields(features):
-        if field != 1 or wt != 2:
-            continue
+    for entry in entries:
         key, feature = None, None
         for f2, w2, v2 in _scan_fields(entry):
             if f2 == 1:

@@ -306,5 +306,71 @@ def test_fused_solve_tf32_mode_close(monkeypatch):
     np.testing.assert_allclose(np.asarray(z_tf32), np.asarray(z_f32),
                                rtol=5e-3, atol=5e-3)
 
+@pytest.mark.parametrize("reps", [1, 2])
+def test_precision_ladder_rescues_low_precision_phase1(monkeypatch, reps):
+    """bf16 phase-1 alone sits far above the strict per-example tolerance
+    (arithmetic noise floor); the f32 tail re-arms those examples and must
+    reach strict convergence at the f32 root. Exercises both the scalar
+    (reps=1) and lane-packed ladder paths."""
+    from implicit_normalizing_flows_tpu.ops.fused_solve import (
+        fused_broyden_solve,
+    )
+
+    block = _make_block()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+    vx = {"params": variables["params"]["nnet_x"],
+          "state": variables["state"]["nnet_x"]}
+    vz = {"params": variables["params"]["nnet_z"],
+          "state": variables["state"]["nnet_z"]}
+    data_x = block.nnet_x.conv_forward_data(vx)
+    data_z = block.nnet_z.conv_forward_data(vz)
+
+    kw = dict(threshold=30, eps=1e-6, stall_patience=5, stall_rtol=0.05,
+              stall_guard=3.0, newton_init=True, interpret=True, reps=reps)
+    res_f32 = fused_broyden_solve(x, data_x, data_z, mode="f32", **kw)
+    assert bool(jnp.all(res_f32.converged))
+
+    res_bf16 = fused_broyden_solve(x, data_x, data_z, mode="bf16", **kw)
+    assert not bool(jnp.all(res_bf16.converged))  # the floor the ladder fixes
+
+    res_ladder = fused_broyden_solve(x, data_x, data_z, mode="bf16",
+                                     tail_mode="f32", tail_start=10, **kw)
+    assert bool(jnp.all(res_ladder.converged))
+    assert bool(jnp.all(res_ladder.nstep <= 30))
+    np.testing.assert_allclose(np.asarray(res_ladder.result),
+                               np.asarray(res_f32.result),
+                               rtol=1e-3, atol=2e-5)
+
+
+def test_precision_ladder_noop_when_phase1_converges(monkeypatch):
+    """When every example converges in phase 1, the ladder must not change
+    the result (the tail sits under a lax.cond and never runs)."""
+    from implicit_normalizing_flows_tpu.ops.fused_solve import (
+        fused_broyden_solve,
+    )
+
+    block = _make_block()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+    vx = {"params": variables["params"]["nnet_x"],
+          "state": variables["state"]["nnet_x"]}
+    vz = {"params": variables["params"]["nnet_z"],
+          "state": variables["state"]["nnet_z"]}
+    data_x = block.nnet_x.conv_forward_data(vx)
+    data_z = block.nnet_z.conv_forward_data(vz)
+
+    kw = dict(threshold=30, eps=1e-6, stall_patience=5, stall_rtol=0.05,
+              stall_guard=3.0, newton_init=True, interpret=True, reps=1)
+    base = fused_broyden_solve(x, data_x, data_z, mode="f32", **kw)
+    assert bool(jnp.all(base.converged))
+    ladder = fused_broyden_solve(x, data_x, data_z, mode="f32",
+                                 tail_mode="f32", tail_start=15, **kw)
+    np.testing.assert_array_equal(np.asarray(ladder.result),
+                                  np.asarray(base.result))
+    np.testing.assert_array_equal(np.asarray(ladder.nstep),
+                                  np.asarray(base.nstep))
+
+
 # CPU Pallas interpreter: minutes per file; excluded from the fast CI subset
 pytestmark = [pytest.mark.slow, pytest.mark.kernels]

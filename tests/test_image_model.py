@@ -224,6 +224,48 @@ def test_device_synthetic_structured_matches_distribution():
     assert int(x.min()) == 0 and int(x.max()) == 255
 
 
+def test_synthetic_labels_learnable_rule():
+    """Synthetic labels follow the FIXED projection rule (argmax over a
+    seeded random projection of the pooled image — VERDICT r3 item 5), so a
+    classifier can actually learn them: deterministic given the image, the
+    same rule on host and device paths, and linearly separable (a logistic
+    fit on pooled features beats chance by a wide margin)."""
+    import jax
+
+    from implicit_normalizing_flows_tpu.data.images import (
+        _labels_from_rule, _synthetic, device_synthetic_structured)
+
+    d = _synthetic("t", 256, 3, 16, 16, seed=0, structured=True)
+    # labels are a deterministic function of the images
+    np.testing.assert_array_equal(d.y, _labels_from_rule(d.x, 10))
+    # the rule is non-degenerate: several classes present
+    assert len(np.unique(d.y)) >= 5
+    # regenerated draws use the SAME rule (labels still match the images)
+    d2 = d.regenerate(7)
+    np.testing.assert_array_equal(d2.y, _labels_from_rule(d2.x, 10))
+
+    # device twin applies the same fixed rule to its own images
+    x, y = device_synthetic_structured(jax.random.PRNGKey(0), 64, 3, 16, 16)
+    np.testing.assert_array_equal(np.asarray(y),
+                                  _labels_from_rule(np.asarray(x), 10))
+
+    # learnable: the Bayes classifier for this rule is linear in pooled
+    # features; a least-squares one-vs-all fit on half the data must beat
+    # chance decisively on the other half
+    from implicit_normalizing_flows_tpu.data.images import _LABEL_POOL as P
+    f = d.x.astype(np.float32) / 255.0 - 0.5
+    n, c, h, w = f.shape
+    f = f[:, :, :h // P * P, :w // P * P].reshape(
+        n, c, P, h // P, P, w // P).mean((3, 5)).reshape(n, -1)
+    onehot = np.eye(10)[d.y]
+    tr, te = slice(0, 192), slice(192, 256)
+    W, *_ = np.linalg.lstsq(f[tr], onehot[tr], rcond=None)
+    acc = float((np.argmax(f[te] @ W, 1) == d.y[te]).mean())
+    # one-vs-all least squares is a crude decoder for an argmax rule, but
+    # even it must beat 10-class chance (~0.1) by 3x
+    assert acc > 0.3, acc
+
+
 def test_solver_telemetry_semantics(tiny_model):
     """The 5-element solver diag (implicit_block._solver_diag): strict
     converged <= the 3x-eps band fraction, RefRMS positive, and with
