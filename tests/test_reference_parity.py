@@ -539,14 +539,11 @@ def test_multiscale_assembly_parity():
     np.testing.assert_allclose(np.asarray(x_ours), x, atol=1e-3)
 
 
-@pytest.mark.slow
-def test_training_trajectory_parity():
-    """200 Adam steps on identical 2-D checkerboard batches, exact
-    (brute-force) logdet, identical init: the NLL trajectories must track.
-
-    Reference loop: train_toy.py:285-351 (loss -> Adam -> update_lipschitz);
-    both sides run their own full step machinery.
-    """
+def _run_trajectory_pair(n_steps):
+    """Train OUR toy model and the reference's imBlock side by side for
+    ``n_steps`` Adam steps on identical 2-D checkerboard batches with exact
+    (brute-force) logdet and identical init; returns (losses_ours,
+    losses_ref) numpy arrays. Reference loop: train_toy.py:285-351."""
     import jax
     import jax.numpy as jnp
 
@@ -624,7 +621,7 @@ def test_training_trajectory_parity():
     rng = np.random.RandomState(11)
     params, state = variables["params"], variables["state"]
     losses_ours, losses_ref = [], []
-    for step in range(200):
+    for step in range(n_steps):
         xb = inf_train_gen("checkerboard", batch_size=128,
                            rng=rng).astype(np.float32)
         params, state, opt_state, lo = jstep(params, state, opt_state,
@@ -647,10 +644,34 @@ def test_training_trajectory_parity():
                         mod.compute_weight(update=True, n_iterations=5)
         losses_ref.append(float(lr_))
 
-    lo = np.array(losses_ours)
-    lr_ = np.array(losses_ref)
-    # identical math, independent implementations: trajectories track within
-    # f32 drift; both must descend by a similar amount
+    return np.array(losses_ours), np.array(losses_ref)
+
+
+@pytest.mark.slow
+def test_training_trajectory_parity():
+    """200 Adam steps: the NLL trajectories must track (identical math,
+    independent implementations, f32 drift only)."""
+    lo, lr_ = _run_trajectory_pair(200)
     np.testing.assert_allclose(lo[:20], lr_[:20], atol=2e-3)
     assert abs(lo[-20:].mean() - lr_[-20:].mean()) < 0.05
     assert lo[-20:].mean() < lo[:20].mean() - 0.05  # actually learned
+
+
+@pytest.mark.slow
+def test_training_trajectory_parity_long():
+    """1000-step side-by-side (VERDICT round 3, missing #2): the closest
+    in-image approximation of bpd parity with the reference — after chaotic
+    f32 divergence of individual iterates, both frameworks must reach the
+    same NLL within Monte-Carlo/batch noise, measured as last-decile mean
+    difference << the batch-to-batch loss std."""
+    lo, lr_ = _run_trajectory_pair(1000)
+    k = 100
+    end_ours, end_ref = lo[-k:].mean(), lr_[-k:].mean()
+    noise = lr_[-k:].std()
+    assert abs(end_ours - end_ref) < max(0.03, 0.5 * noise), (
+        end_ours, end_ref, noise)
+    # both sides learned substantially (checkerboard NLL optimum ~3.58)
+    assert end_ours < lo[:k].mean() - 0.1
+    assert end_ref < lr_[:k].mean() - 0.1
+    print(f"end-of-run NLL ours {end_ours:.4f} vs ref {end_ref:.4f} "
+          f"(batch noise {noise:.4f})")

@@ -204,6 +204,12 @@ def main(argv=None):
             s = (f"Epoch [{epoch}][{i}] | Time {meters['time'].val:.3f} | "
                  f"NLL {meters['nll'].val:.4f}({meters['nll'].avg:.4f}) | "
                  f"Logpz {meters['logpz'].avg:.2f} | -DeltaLogp {meters['delta'].avg:.2f}")
+            if "broyden_nstep" in m:
+                # solver health band next to throughput (VERDICT r3 item 10)
+                s += (f" | BroydenIters {float(m['broyden_nstep']):.1f} | "
+                      f"Converged {float(m['broyden_converged']):.2f} | "
+                      f"Conv3eps {float(m['broyden_converged_3eps']):.2f} | "
+                      f"RefRMS {float(m['broyden_rms_over_tol']):.2f}")
             if "est_firmom" in m:
                 # estimator moments (reference train_img.py:557-564 analog)
                 s += (f" | EstMoment {float(m['est_firmom']):.2f}"
