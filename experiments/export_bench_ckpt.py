@@ -1,0 +1,43 @@
+"""Export a compact, committable bench checkpoint from a full training
+checkpoint: params + state only (no optimizer/EMA), float16 storage.
+
+The round-3 full checkpoints were gitignored and lost between rounds, which
+silently dropped bench.py's sustained (mid-training) section. A ~10 MB
+f16 export of the saturated weights IS committable; bench.py casts the
+leaves back to f32 on load (the sustained section re-inits optimizer/EMA
+anyway, and the bench needs a representative saturated-Lipschitz state,
+not bit-exactness).
+
+Usage: python experiments/export_bench_ckpt.py IN.pkl OUT.pkl
+"""
+import pickle
+import sys
+
+import numpy as np
+
+
+def compact(tree):
+    if isinstance(tree, dict):
+        return {k: compact(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(compact(v) for v in tree)
+    a = np.asarray(tree)
+    if a.dtype == np.float32:
+        return a.astype(np.float16)
+    return a
+
+
+def main():
+    src, dst = sys.argv[1], sys.argv[2]
+    with open(src, "rb") as f:
+        ck = pickle.load(f)
+    out = {"params": compact(ck["params"]), "state": compact(ck["state"]),
+           "epoch": ck.get("epoch"), "compact_f16": True}
+    with open(dst, "wb") as f:
+        pickle.dump(out, f)
+    import os
+    print(f"{dst}: {os.path.getsize(dst) / 1e6:.1f} MB (epoch {out['epoch']})")
+
+
+if __name__ == "__main__":
+    main()

@@ -145,5 +145,16 @@ def tp_sharding(mesh: Mesh, tree, channel_size: int):
 
 
 def place_tp(mesh: Mesh, tree, channel_size: int):
-    """device_put the pytree with tensor-parallel channel shardings."""
+    """device_put the pytree with tensor-parallel channel shardings.
+
+    Composition with the fused Pallas kernels: the kernels partition over
+    the 'data' axis only (``ops.fused_solve._maybe_shard`` shard_maps with
+    replicated weight specs), so under a data x model mesh GSPMD
+    all-gathers the model-sharded weights at each kernel boundary and the
+    kernels run data-parallel with full weights. That is the intended
+    trade: these Lipschitz stacks are activation-dominated (a 512-channel
+    3x3 kernel is ~2.4 MB vs ~128 MB of per-batch solver state), so
+    gathering weights over ICI is cheap while activations never move.
+    Executed end-to-end by ``__graft_entry__.dryrun_multichip`` phase 5
+    (pallas-interpret x data2xmodel2 vs the XLA path on the same mesh)."""
     return jax.tree.map(jax.device_put, tree, tp_sharding(mesh, tree, channel_size))
