@@ -177,6 +177,15 @@ def sustained_section(model, step, optimizer, batch, size, steps):
     # the checkpointed model matches the bench recipe (CIFAR-10 2-2-2);
     # reuse the already-compiled step with the checkpoint's params/state
     params, state = ck["params"], ck["state"]
+    if ck.get("compact_f16"):
+        # committed compact export (experiments/export_bench_ckpt.py):
+        # f16 storage -> f32 compute types
+        import numpy as _np
+
+        cast = lambda t: jax.tree.map(
+            lambda a: _np.asarray(a, _np.float32)
+            if getattr(a, "dtype", None) == _np.float16 else a, t)
+        params, state = cast(params), cast(state)
     opt_state = optimizer.init(params)
     shadow = ema_init(params)
     # structured synthetic images — the distribution the checkpoint was

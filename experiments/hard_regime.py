@@ -51,6 +51,14 @@ VARIANTS = [
     ("truth", "fwd_threshold=120,stall_patience=0,newton_init=1,"
      "solver_precision=float32,fused_solve=0,fused_bwd=0,fused_chain=0,"
      "fused_final=0,fused_reattach=0"),
+    # ---- round-4 ladder diagnostics (tail default f32, start thr//2) ----
+    ("ladder_default", "stall_guard=3,newton_init=1"),
+    ("noladder_tf32", "stall_guard=3,newton_init=1,solver_tail="),
+    ("ladder_start8", "stall_guard=3,newton_init=1,ladder_start=8"),
+    ("ladder_start4", "stall_guard=3,newton_init=1,ladder_start=4"),
+    ("ladder_nostall", "stall_patience=0,newton_init=1"),
+    ("ladder_b45", "newton_init=1,fwd_threshold=45"),
+    ("f32_only", "newton_init=1,solver_precision=float32"),
 ]
 
 

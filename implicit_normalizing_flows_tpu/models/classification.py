@@ -39,15 +39,24 @@ class BatchNorm2d:
         xhat = (x - mean[None, :, None, None]) / jnp.sqrt(var[None, :, None, None] + self.eps)
         return xhat * p["weight"][None, :, None, None] + p["bias"][None, :, None, None]
 
-    def update_state(self, variables, x):
-        s = variables["state"]
+    def train_apply(self, variables, x):
+        """Train-mode BN: normalize by batch stats AND return the updated
+        running stats (torch semantics — the r3 driver never updated them,
+        so eval normalized with the INIT stats and test accuracy sat at
+        chance while train accuracy climbed; r4 fix)."""
+        p, s = variables["params"], variables["state"]
         mean = jnp.mean(x, axis=(0, 2, 3))
         var = jnp.var(x, axis=(0, 2, 3))
+        xhat = (x - mean[None, :, None, None]) / jnp.sqrt(var[None, :, None, None] + self.eps)
+        y = xhat * p["weight"][None, :, None, None] + p["bias"][None, :, None, None]
         m = self.momentum
-        return {
+        n = x.shape[0] * x.shape[2] * x.shape[3]
+        unbiased = var * n / max(n - 1, 1)  # torch tracks unbiased var
+        new_state = {
             "running_mean": (1 - m) * s["running_mean"] + m * mean,
-            "running_var": (1 - m) * s["running_var"] + m * var,
+            "running_var": (1 - m) * s["running_var"] + m * unbiased,
         }
+        return y, new_state
 
     def update_lipschitz(self, variables, n_iterations=None):
         return variables
@@ -128,6 +137,28 @@ class BasicImplicitBlock:
             y = jax.nn.relu(y)
         return y
 
+    def train_apply(self, variables, x, *, rng=None):
+        """Train-mode forward returning (y, new_state): identical math to
+        ``apply(train=True)`` but threads the downsample BN's running-stat
+        update (and the implicit block's solver-telemetry state) back out."""
+        p, s = variables["params"], dict(variables["state"])
+        if self.implicit:
+            bv = {"params": p["block"], "state": s["block"]}
+            y, _, bstate = self.block.forward(bv, x, None, rng=rng, train=True)
+            s["block"] = bstate
+        else:
+            b1 = {"params": p["block1"], "state": s["block1"]}
+            b2 = {"params": p["block2"], "state": s["block2"]}
+            y = jax.nn.relu(x + self.block1.apply(b1, x, rng=rng, train=True))
+            y = y + self.block2.apply(b2, y, rng=rng, train=True)
+        if self.has_downsample:
+            cv = {"params": p["down_conv"], "state": s["down_conv"]}
+            bn = {"params": p["down_bn"], "state": s["down_bn"]}
+            y = self.down_conv.apply(cv, y)
+            y, s["down_bn"] = self.down_bn.train_apply(bn, y)
+            y = jax.nn.relu(y)
+        return y, s
+
     def update_lipschitz(self, variables, n_iterations=None):
         p, s = dict(variables["params"]), dict(variables["state"])
         if self.implicit:
@@ -203,6 +234,25 @@ class ImplicitResNet:
         # avg_pool2d(4) on the 4x4 final map == global mean for 32x32 inputs
         h = jnp.mean(h.reshape(h.shape[0], h.shape[1], -1), axis=2)
         return self.linear.apply({"params": p["logit"], "state": s["logit"]}, h)
+
+    def train_apply(self, variables, x, *, rng=None):
+        """Train forward returning (logits, new_state): BN running stats and
+        block solver telemetry thread back to the caller — the train step
+        must carry this state or eval normalizes with init statistics."""
+        p, s = variables["params"], dict(variables["state"])
+        h = self.conv1.apply({"params": p["conv1"], "state": s["conv1"]}, x)
+        h, s["bn1"] = self.bn1.train_apply(
+            {"params": p["bn1"], "state": s["bn1"]}, h)
+        h = jax.nn.relu(h)
+        bs = list(s["blocks"])
+        for i, blk in enumerate(self.blocks):
+            h, bs[i] = blk.train_apply(
+                {"params": p["blocks"][i], "state": bs[i]}, h,
+                rng=fold_rng(rng, i))
+        s["blocks"] = bs
+        h = jnp.mean(h.reshape(h.shape[0], h.shape[1], -1), axis=2)
+        logits = self.linear.apply({"params": p["logit"], "state": s["logit"]}, h)
+        return logits, s
 
     def update_lipschitz(self, variables, n_iterations=None):
         p, s = dict(variables["params"]), dict(variables["state"])

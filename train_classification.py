@@ -63,7 +63,16 @@ def parse_args(argv=None):
     p.add_argument("--n-lipschitz-iters", type=int, default=None)
     p.add_argument("--sn-tol", type=float, default=1e-3)
     p.add_argument("--rcrop-pad-mode", type=str, default="reflect")
+    p.add_argument("--ema-decay", type=float, default=0.999,
+                   help="EMA horizon is ~1/(1-decay) steps; short smoke/e2e "
+                        "runs need a smaller decay or eval sees ~init weights")
+    p.add_argument("--imagesize", type=int, default=32,
+                   help="input size; synthetic data and the generic "
+                        "ImplicitResNet adapt (reference is 32-only)")
     p.add_argument("--synthetic-data", type=eval, choices=[True, False], default=False)
+    p.add_argument("--synthetic-n", type=int, default=2048)
+    p.add_argument("--synthetic-structured", type=eval, choices=[True, False],
+                   default=False)
     p.add_argument("--max-iters-per-epoch", type=int, default=None)
     add_distributed_flags(p)
     add_kernel_config_flag(p)
@@ -105,12 +114,27 @@ def main(argv=None):
     if args.data == "cifar100":
         train_data = load_cifar100(args.dataroot, True, args.synthetic_data)
         test_data = load_cifar100(args.dataroot, False, args.synthetic_data)
+    elif args.synthetic_data and args.imagesize != 32:
+        from implicit_normalizing_flows_tpu.data.images import _synthetic
+
+        train_data = _synthetic("cifar10", args.synthetic_n, 3,
+                                args.imagesize, args.imagesize, seed=0,
+                                structured=args.synthetic_structured)
+        test_data = _synthetic("cifar10", min(args.synthetic_n, 2048), 3,
+                               args.imagesize, args.imagesize, seed=1,
+                               structured=args.synthetic_structured)
     else:
-        train_data = load_dataset("cifar10", args.dataroot, True, args.synthetic_data)
-        test_data = load_dataset("cifar10", args.dataroot, False, args.synthetic_data)
+        train_data = load_dataset(
+            "cifar10", args.dataroot, True, args.synthetic_data,
+            synthetic_n=args.synthetic_n,
+            synthetic_structured=args.synthetic_structured)
+        test_data = load_dataset(
+            "cifar10", args.dataroot, False, args.synthetic_data,
+            synthetic_n=args.synthetic_n,
+            synthetic_structured=args.synthetic_structured)
 
     ctor = ImplicitResNet18 if args.arch == "implicit" else ResNet18
-    model = ctor(num_classes=n_classes, coeff=args.coeff,
+    model = ctor(num_classes=n_classes, imagesize=args.imagesize, coeff=args.coeff,
                  n_lipschitz_iters=args.n_lipschitz_iters,
                  sn_atol=args.sn_tol, sn_rtol=args.sn_tol)
 
@@ -150,11 +174,15 @@ def main(argv=None):
         raise SystemExit("multi-host training requires a device mesh (>1 device)")
 
     def loss_fn(params, state, x, y, rng):
-        logits = model.apply(make_vars(params, state), x, rng=rng, train=True)
+        # train_apply threads BN running stats (and solver telemetry) back
+        # out — the r3 driver used apply() and dropped them, so eval
+        # normalized with INIT statistics and test accuracy sat at chance
+        logits, new_state = model.train_apply(make_vars(params, state), x,
+                                              rng=rng)
         ce = -jnp.sum(jax.nn.log_softmax(logits) *
                       jax.nn.one_hot(y, n_classes))  # summed CE (reference :356)
         acc = jnp.mean((jnp.argmax(logits, 1) == y).astype(jnp.float32))
-        return ce, acc
+        return ce, (acc, new_state)
 
     def make_train_step(lr):
         opt = make_optimizer(lr)
@@ -162,13 +190,13 @@ def main(argv=None):
         def train_step(params, state, opt_state, shadow, x_u8, y, rng):
             k1, k2 = jax.random.split(rng)
             x = (x_u8.astype(jnp.float32) + jax.random.uniform(k1, x_u8.shape)) / 256.0
-            (ce, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (ce, (acc, state)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, state, x, y, k2)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             v = model.update_lipschitz(make_vars(params, state), args.n_lipschitz_iters)
             params, state = v["params"], v["state"]
-            shadow = ema_apply(shadow, params)
+            shadow = ema_apply(shadow, params, args.ema_decay)
             return params, state, opt_state, shadow, ce, acc
 
         if mesh is not None:
@@ -268,11 +296,12 @@ def main(argv=None):
         total_ce = sum(float(ce) for (ce, _), _ in pending)
         total_correct = sum(int(c) for (_, c), _ in pending)
         total_n = sum(n for _, n in pending)
+        test_acc = total_correct / max(total_n, 1)
         logger.info(f"Test Epoch {epoch}: CE {total_ce / max(total_n,1):.4f} | "
-                    f"Acc {100.0 * total_correct / max(total_n,1):.2f}%")
+                    f"Acc {100.0 * test_acc:.2f}%")
 
     logger.info("Training has finished.")
-    return params, state
+    return params, state, test_acc
 
 
 if __name__ == "__main__":
