@@ -135,32 +135,37 @@ def main():
         "broyden_conv3eps": round(warm_metrics.get("broyden_converged_3eps", float("nan")), 3),
         "broyden_rms_over_tol": round(warm_metrics.get("broyden_rms_over_tol", float("nan")), 3),
     }
-    try:
-        out.update(sustained_section(model, step, optimizer, batch, size, steps))
-    except Exception as e:  # never lose the at-init line to a ckpt mismatch
-        out["sustained_samples_per_sec"] = None
-        out["sustained_note"] = f"sustained section failed: {e}"
+    if os.environ.get("BENCH_SKIP_SUSTAINED"):
+        out["sustained_note"] = "skipped (BENCH_SKIP_SUSTAINED)"
+    else:
+        try:
+            out.update(sustained_section(model, step, optimizer, batch, size,
+                                         steps))
+        except Exception as e:  # never lose the at-init line to a ckpt mismatch
+            out["sustained_samples_per_sec"] = None
+            out["sustained_note"] = f"sustained section failed: {e}"
     print(json.dumps(out))
 
 
-SUSTAINED_CKPTS = [
-    # newest healthy-regime artifact first; bench_ckpt.pkl is the committed
-    # compact (params+state only) export that survives fresh clones — the
-    # round-3 full checkpoints were gitignored and lost between rounds,
-    # which silently dropped the sustained section from the first r4 bench
+# The committed compact (params+state, f16) saturated checkpoint: a FIXED
+# measurement point that survives fresh clones, so sustained numbers compare
+# like-for-like across rounds. (The r3 full checkpoints were gitignored and
+# lost between rounds, silently dropping the sustained section; and
+# end-of-run checkpoints get harder every round as runs train further —
+# r4's epoch-13 regime is conditioning-limited per hard_regime_r4.json.)
+SUSTAINED_CKPT_FIXED = "experiments/cifar10_long_r4/bench_ckpt.pkl"
+# End-of-run checkpoints (hardest regime reached), reported as
+# sustained_final_* when present in the tree.
+SUSTAINED_CKPTS_FINAL = [
     "experiments/cifar10_long_r4/most_recent.pkl",
-    "experiments/cifar10_long_r4/bench_ckpt.pkl",
     "experiments/cifar10_long_r3/most_recent.pkl",
-    "experiments/cifar10_long_r2c/most_recent.pkl",
 ]
 
 
-def sustained_section(model, step, optimizer, batch, size, steps):
-    """Mid-training (saturated-Lipschitz) throughput: resume a long-horizon
-    checkpoint and time steps there. The at-init number describes only the
-    first ~100 steps of a run's life (round-2 verdict, weak #1); this is the
-    speed training actually sustains. Skipped (with a marker) when no
-    long-horizon checkpoint exists in the tree."""
+def _measure_ckpt(ckpt_path, step, optimizer, batch, size, steps, tag):
+    """Resume a checkpoint and time `steps` training steps on structured
+    synthetic batches (the distribution the checkpoint was trained on);
+    returns {tag}_* throughput + solver-health fields."""
     import jax
     import jax.numpy as jnp
 
@@ -168,11 +173,6 @@ def sustained_section(model, step, optimizer, batch, size, steps):
     from implicit_normalizing_flows_tpu.training.checkpoints import load_checkpoint
 
     here = os.path.dirname(os.path.abspath(__file__))
-    ckpt_path = next((os.path.join(here, p) for p in SUSTAINED_CKPTS
-                      if os.path.exists(os.path.join(here, p))), None)
-    if ckpt_path is None:
-        return {"sustained_samples_per_sec": None,
-                "sustained_note": "no long-horizon checkpoint in tree"}
     ck = load_checkpoint(ckpt_path)
     # the checkpointed model matches the bench recipe (CIFAR-10 2-2-2);
     # reuse the already-compiled step with the checkpoint's params/state
@@ -188,9 +188,6 @@ def sustained_section(model, step, optimizer, batch, size, steps):
         params, state = cast(params), cast(state)
     opt_state = optimizer.init(params)
     shadow = ema_init(params)
-    # structured synthetic images — the distribution the checkpoint was
-    # trained on; uniform-noise inputs make the mid-training solves
-    # artificially harder than training ever sees
     from implicit_normalizing_flows_tpu.data.images import _synthetic_structured
     x_u8 = jnp.asarray(
         _synthetic_structured("bench", batch, 3, size, size, seed=1).x)
@@ -212,15 +209,39 @@ def sustained_section(model, step, optimizer, batch, size, steps):
     nstep = warm.get("broyden_nstep", float("nan"))
     flops = estimate_step_flops(batch, nstep)
     return {
-        "sustained_samples_per_sec": round(batch * steps / dt, 3),
-        "sustained_step_ms": round(1000 * dt / steps, 3),
-        "sustained_mfu_est": round(flops / (dt / steps) / TPU_V5E_PEAK_BF16_FLOPS, 4),
-        "broyden_nstep_sustained": round(nstep, 2),
-        "broyden_converged_sustained": round(warm.get("broyden_converged", float("nan")), 3),
-        "broyden_conv3eps_sustained": round(warm.get("broyden_converged_3eps", float("nan")), 3),
-        "broyden_rms_over_tol_sustained": round(warm.get("broyden_rms_over_tol", float("nan")), 3),
-        "sustained_ckpt": os.path.relpath(ckpt_path, here),
+        f"{tag}_samples_per_sec": round(batch * steps / dt, 3),
+        f"{tag}_step_ms": round(1000 * dt / steps, 3),
+        f"{tag}_mfu_est": round(flops / (dt / steps) / TPU_V5E_PEAK_BF16_FLOPS, 4),
+        f"broyden_nstep_{tag}": round(nstep, 2),
+        f"broyden_converged_{tag}": round(warm.get("broyden_converged", float("nan")), 3),
+        f"broyden_conv3eps_{tag}": round(warm.get("broyden_converged_3eps", float("nan")), 3),
+        f"broyden_rms_over_tol_{tag}": round(warm.get("broyden_rms_over_tol", float("nan")), 3),
+        f"{tag}_ckpt": os.path.relpath(ckpt_path, here),
     }
+
+
+def sustained_section(model, step, optimizer, batch, size, steps):
+    """Mid-training (saturated-Lipschitz) throughput: the at-init number
+    describes only the first ~100 steps of a run's life (round-2 verdict).
+    Two measurement points: `sustained_*` on the COMMITTED fixed checkpoint
+    (stable across rounds), and `sustained_final_*` on the newest end-of-run
+    checkpoint when one exists in the tree (the hardest regime the run
+    reached — conditioning-limited at r4's epoch 13, hard_regime_r4.json)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = {}
+    fixed = os.path.join(here, SUSTAINED_CKPT_FIXED)
+    if os.path.exists(fixed):
+        out.update(_measure_ckpt(fixed, step, optimizer, batch, size, steps,
+                                 "sustained"))
+    else:
+        out["sustained_samples_per_sec"] = None
+        out["sustained_note"] = "fixed bench checkpoint missing"
+    final = next((os.path.join(here, p) for p in SUSTAINED_CKPTS_FINAL
+                  if os.path.exists(os.path.join(here, p))), None)
+    if final is not None:
+        out.update(_measure_ckpt(final, step, optimizer, batch, size, steps,
+                                 "sustained_final"))
+    return out
 
 
 def main_with_retries():

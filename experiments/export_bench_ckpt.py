@@ -10,10 +10,13 @@ not bit-exactness).
 
 Usage: python experiments/export_bench_ckpt.py IN.pkl OUT.pkl
 """
+import os
 import pickle
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def compact(tree):
@@ -23,6 +26,8 @@ def compact(tree):
         return type(tree)(compact(v) for v in tree)
     a = np.asarray(tree)
     if a.dtype == np.float32:
+        if np.nanmax(np.abs(a), initial=0.0) >= 6e4:  # beyond f16 range
+            return a
         return a.astype(np.float16)
     return a
 

@@ -11,6 +11,7 @@ stable as the Lipschitz constants saturate.
 Usage: python experiments/long_horizon.py <save_dir> [out.json]
 """
 import json
+import os
 import re
 import sys
 
@@ -121,6 +122,29 @@ def main():
         summary["strict_converged_note"] = (
             f"worst-batch strict converged {min_converged:.3f} < "
             f"{STRICT_FLOOR} — check solver_tail/ladder config")
+    # Optional 3rd arg: a hard_regime lab JSON measured ON THIS RUN's final
+    # checkpoint. When the EXACT solver (truth: f32, budget 120, no stall)
+    # itself fails the strict criterion at those weights, the regime is
+    # conditioning-limited — no solver policy can pass the band gate — and
+    # the decisive question becomes solver FIDELITY: the production policy's
+    # per-example bpd error vs the truth solve.
+    if len(sys.argv) > 3 and os.path.exists(sys.argv[3]):
+        lab = json.load(open(sys.argv[3]))
+        truth = lab.get("truth", {})
+        prod = lab.get("ladder_default", {})
+        if truth and prod:
+            summary["solver_fidelity"] = {
+                "lab": sys.argv[3],
+                "truth_eval_converged": truth.get("eval_converged"),
+                "truth_eval_nstep": truth.get("eval_nstep"),
+                "prod_eval_converged": prod.get("eval_converged"),
+                "prod_bpd_err_mean": prod.get("bpd_err_mean"),
+                "prod_bpd_err_max_abs": prod.get("bpd_err_max_abs"),
+            }
+            summary["conditioning_limited"] = bool(
+                truth.get("eval_converged", 1.0) < 0.9)
+            summary["solver_fidelity_ok"] = bool(
+                prod.get("bpd_err_max_abs", 1.0) < 1e-3)
     text = json.dumps(summary, indent=1)
     print(text)
     if out:

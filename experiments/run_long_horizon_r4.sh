@@ -19,4 +19,7 @@ timeout 4800 python train_img.py $COMMON --nepochs 6 || exit 1
 timeout 9600 python train_img.py $COMMON --nepochs 14 \
   --resume $SAVE/most_recent.pkl || exit 1
 
-python experiments/long_horizon.py $SAVE experiments/long_horizon_r4.json
+# hard_regime_r4.json (the solver-fidelity lab on this run's final
+# checkpoint) attaches the conditioning-limited / fidelity evidence
+python experiments/long_horizon.py $SAVE experiments/long_horizon_r4.json \
+  experiments/hard_regime_r4.json
