@@ -212,7 +212,8 @@ def load_mnist(dataroot, train=True, synthetic_fallback=False, synthetic_n=2048)
 
 
 def load_pth_dataset(name, loc, train=True, test_head=None,
-                     synthetic_fallback=False, synthetic_shape=None, synthetic_n=512):
+                     synthetic_fallback=False, synthetic_shape=None,
+                     synthetic_n=512, synthetic_structured=False):
     """Preprocessed-tensor datasets (lib/datasets.py:5-24,58-103)."""
     try:
         import torch
@@ -226,7 +227,14 @@ def load_pth_dataset(name, loc, train=True, test_head=None,
         if not synthetic_fallback:
             raise
         c, h, w = synthetic_shape
-        return _synthetic(name, synthetic_n, c, h, w)
+        # `structured` MUST thread through here: the r3/r4 64px multiscale
+        # runs silently trained on UNIFORM noise (this fallback dropped the
+        # flag), whose optimal bpd is the dequantization floor — the model
+        # started at the optimum with ~zero gradient and "didn't learn".
+        # Distinct train/test seeds, like the cifar fallback.
+        return _synthetic(name, synthetic_n if train else min(synthetic_n, 2048),
+                          c, h, w, seed=0 if train else 1,
+                          structured=synthetic_structured)
 
 
 def load_dataset(name, dataroot, train=True, synthetic_fallback=False,
@@ -253,24 +261,32 @@ def load_dataset(name, dataroot, train=True, synthetic_fallback=False,
                            "celeba256_train.pth" if train else "celeba256_validation.pth")
         return load_pth_dataset("celebahq", loc, train,
                                 synthetic_fallback=synthetic_fallback,
-                                synthetic_shape=(3, 256, 256))
+                                synthetic_shape=(3, 256, 256),
+                                synthetic_n=synthetic_n,
+                                synthetic_structured=synthetic_structured)
     if name == "celeba_5bit":
         loc = os.path.join(dataroot, "celebahq64_5bit", "celeba_full_64x64_5bit.pth")
         return load_pth_dataset("celeba_5bit", loc, train, test_head=5000,
                                 synthetic_fallback=synthetic_fallback,
-                                synthetic_shape=(3, 64, 64))
+                                synthetic_shape=(3, 64, 64),
+                                synthetic_n=synthetic_n,
+                                synthetic_structured=synthetic_structured)
     if name == "imagenet32":
         loc = os.path.join(dataroot, "imagenet32",
                            "train_32x32.pth" if train else "valid_32x32.pth")
         return load_pth_dataset("imagenet32", loc, train,
                                 synthetic_fallback=synthetic_fallback,
-                                synthetic_shape=(3, 32, 32))
+                                synthetic_shape=(3, 32, 32),
+                                synthetic_n=synthetic_n,
+                                synthetic_structured=synthetic_structured)
     if name == "imagenet64":
         loc = os.path.join(dataroot, "imagenet64",
                            "train_64x64.pth" if train else "valid_64x64.pth")
         return load_pth_dataset("imagenet64", loc, train,
                                 synthetic_fallback=synthetic_fallback,
-                                synthetic_shape=(3, 64, 64))
+                                synthetic_shape=(3, 64, 64),
+                                synthetic_n=synthetic_n,
+                                synthetic_structured=synthetic_structured)
     raise ValueError(f"unknown dataset {name}")
 
 

@@ -304,3 +304,24 @@ def test_solver_telemetry_semantics(tiny_model):
     assert not np.array_equal(np.asarray(k0), np.asarray(k1))
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
     assert float(m1["bpd"]) == float(m2["bpd"])
+
+
+def test_pth_dataset_fallback_threads_structured():
+    """The celeba/imagenet synthetic fallbacks must honor
+    synthetic_structured — the r3/r4 64px multiscale runs silently trained
+    on uniform noise (optimal bpd = the dequant floor, ~zero gradient)
+    because load_pth_dataset dropped the flag (round-4 root cause)."""
+    from implicit_normalizing_flows_tpu.data.images import load_dataset
+
+    d = load_dataset("celeba_5bit", "/nonexistent", train=True,
+                     synthetic_fallback=True, synthetic_n=16,
+                     synthetic_structured=True)
+    assert d.structured and d.synthetic and d.x.shape == (16, 3, 64, 64)
+    f = d.x.astype(np.float32)
+    corr = np.corrcoef(f[:, :, :, :-1].ravel(), f[:, :, :, 1:].ravel())[0, 1]
+    assert corr > 0.7, corr  # low-frequency images, not white noise
+    # train/test draws are distinct
+    t = load_dataset("celeba_5bit", "/nonexistent", train=False,
+                     synthetic_fallback=True, synthetic_n=16,
+                     synthetic_structured=True)
+    assert not np.array_equal(d.x[:16], t.x[:16])
