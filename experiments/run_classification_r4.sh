@@ -10,6 +10,6 @@ set -x
 SAVE=${SAVE:-experiments/classification_r4}
 timeout 10800 python train_classification.py --data cifar10 \
   --synthetic-data True --synthetic-n 8192 --synthetic-structured True \
-  --batch-size 128 --epochs 12 --lr 0.001 --coeff 0.9 \
+  --batch-size 128 --epochs 12 --lr 0.001 --coeff 0.9 --ema-decay 0.99 \
   --model-dir "$SAVE" || exit 1
 grep -a "Test" "$SAVE/logs" | tail -5
