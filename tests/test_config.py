@@ -35,3 +35,34 @@ def test_set_kernel_config_wins_over_env(monkeypatch):
     finally:
         C.set_kernel_config(None)
     assert C.kernel_config().fused_solve == "0"
+
+
+def test_ladder_args_resolution(monkeypatch):
+    """_ladder_args: tail engages for tf32-family base modes, no-ops when
+    the base already runs f32 or the ladder is disabled; start defaults to
+    threshold//2 capped at threshold."""
+    from implicit_normalizing_flows_tpu.layers.implicit_block import _ladder_args
+
+    try:
+        C.set_kernel_config(C.KernelConfig())  # defaults: tf32 + tail f32
+        assert _ladder_args(30) == {"tail_mode": "f32", "tail_start": 15}
+        C.set_kernel_config(C.KernelConfig(ladder_start=40))
+        assert _ladder_args(30)["tail_start"] == 30  # capped at budget
+        C.set_kernel_config(C.KernelConfig(solver_precision="float32"))
+        assert _ladder_args(30) == {}  # base already f32
+        C.set_kernel_config(C.KernelConfig(solver_tail=""))
+        assert _ladder_args(30) == {}  # disabled
+    finally:
+        C.set_kernel_config(None)
+
+
+def test_reference_semantics_preset(monkeypatch):
+    """IMNF_REFERENCE_SEMANTICS=1 pins reference solver semantics as the
+    env-resolution base; explicit env overrides still win on top."""
+    monkeypatch.setenv("IMNF_REFERENCE_SEMANTICS", "1")
+    cfg = C.from_env()
+    assert cfg.warm_start is False and cfg.newton_init is False
+    assert cfg.stall_patience == 0 and cfg.solver_tail == ""
+    assert cfg.solver_precision == "float32"
+    monkeypatch.setenv("IMNF_NEWTON_INIT", "1")
+    assert C.from_env().newton_init is True  # env override on top
