@@ -112,8 +112,11 @@ class KernelConfig:
     newton_init: bool = True
     # per-example Armijo backtracking line search on every Broyden step (the
     # reference's ls flag, broyden.py:24-99,123 — off by default there too).
-    # Opt-in for hard regimes; forces the XLA solver path (the fused kernels
-    # don't implement it).                                  [IMNF_LINE_SEARCH]
+    # Opt-in for hard regimes; implemented on BOTH the XLA and the fused
+    # Pallas paths (round 4 — bounded 2-trial quadratic-interpolant
+    # backtracking, up to +2 residual evals per failing iteration). The
+    # merged fused_block experiment still bails to XLA under it.
+    #                                                       [IMNF_LINE_SEARCH]
     line_search: bool = False
 
     # --- diagnostics ------------------------------------------------------

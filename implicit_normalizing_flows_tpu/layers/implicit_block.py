@@ -185,8 +185,8 @@ def _fused_solve_data(nnet_a, nnet_b, va, vb, x):
     pattern and the device/shape gates pass, else None. IMNF_FUSED_SOLVE=0
     disables, =interpret forces the interpreter path for CPU tests."""
     mode = kernel_config().fused_solve
-    if mode == "0" or x.ndim != 4 or kernel_config().line_search:
-        return None  # the fused kernels don't implement the Armijo search
+    if mode == "0" or x.ndim != 4:
+        return None
     interp = mode == "interpret"
     reps = _pack_reps_for(x)
     if not interp:
@@ -223,6 +223,7 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
             stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
             stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
+            line_search=cfg.line_search,
             interpret=interp, reps=reps, **_ladder_args(cfg.threshold))
 
         B = x.shape[0]
@@ -345,8 +346,7 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
         # IMNF_FUSED_BWD=0 disables, =interpret for CPU tests.
         u = None
         fused_bwd = kernel_config().fused_bwd
-        if (fused_bwd != "0" and x.ndim == 4 and bwd_mode in ("bf16", "f32")
-                and not cfg.line_search):
+        if fused_bwd != "0" and x.ndim == 4 and bwd_mode in ("bf16", "f32"):
             interp = fused_bwd == "interpret"
             reps = _pack_reps_for(x)
             dev_ok = interp or (
@@ -365,6 +365,7 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
                         stall_patience=cfg.stall_patience,
                         stall_rtol=cfg.stall_rtol, stall_guard=cfg.stall_guard,
                         newton_init=cfg.newton_init,
+                        line_search=cfg.line_search,
                         mode=bwd_mode, interpret=interp, reps=reps)
 
         if u is None:
@@ -778,6 +779,7 @@ class ImplicitBlock(Flow):
             stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
             stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
+            line_search=self.solver_cfg.line_search,
             interpret=interp, reps=reps, **_ladder_args(cfg.threshold))
         B = z.shape[0]
         flat = lambda a: a.reshape(B, -1)

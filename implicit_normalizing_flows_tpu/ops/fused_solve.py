@@ -223,7 +223,8 @@ class _PackedLoopState(NamedTuple):
 
 def _broyden_in_kernel_packed(resid, z0, *, c8, HW, reps, threshold, eps_i,
                               stall_patience, stall_rtol, stall_guard=None,
-                              newton_init=False, tail=None, tail_start=None):
+                              newton_init=False, tail=None, tail_start=None,
+                              line_search=False):
     """Lane-packed twin of :func:`_broyden_in_kernel`: ``reps`` examples per
     program, each with its own convergence/stall/protective-break state.
     Per-example scalars live as (1, reps) vectors; the rank-1 inner products
@@ -267,6 +268,39 @@ def _broyden_in_kernel_packed(resid, z0, *, c8, HW, reps, threshold, eps_i,
             act_l = to_lanes(active)
             z_new = s.z + s.update * act_l
             g_new = resid(z_new)
+            if line_search:
+                # Per-lane bounded 2-trial Armijo (XLA twin:
+                # ops/broyden.py:212-246); the two trial evals run on the
+                # whole plane whenever ANY lane fails (same convoy behavior
+                # as the XLA any-row cond) and lanes blend their own
+                # accepted step.
+                c1 = 1e-4
+                phi0 = seg_sum(s.gx * s.gx)                  # (1, reps)
+                phi1 = seg_sum(g_new * g_new)
+                fail = active * b2f(phi1 > phi0 * (1.0 - c1))
+
+                def backtrack(args):
+                    z1, g1 = args
+                    sq = jnp.clip(phi0 / (2.0 * phi1 + 1e-30), 1e-2, 1.0)
+                    z_q = s.z + to_lanes(sq) * s.update * act_l
+                    g_q = resid(z_q)
+                    phi_q = seg_sum(g_q * g_q)
+                    ok_q = b2f(phi_q <= phi0 * (1.0 - c1 * sq))
+                    sh = sq * 0.5
+                    z_h = s.z + to_lanes(sh) * s.update * act_l
+                    g_h = resid(z_h)
+                    phi_h = seg_sum(g_h * g_h)
+                    ok_h = b2f(phi_h <= phi0 * (1.0 - c1 * sh))
+                    take_q = to_lanes(fail * ok_q)
+                    take_h = to_lanes(fail * (1.0 - ok_q) * ok_h)
+                    sel = lambda a_q, a_h, a_1: jnp.where(
+                        take_q > 0.5, a_q, jnp.where(take_h > 0.5, a_h, a_1))
+                    return sel(z_q, z_h, z1), sel(g_q, g_h, g1)
+
+                z_new, g_new = jax.lax.cond(
+                    jnp.max(fail) > 0.5, backtrack, lambda a: a,
+                    (z_new, g_new))
+            delta_z = (z_new - s.z) if line_search else s.update * act_l
             delta_g = (g_new - s.gx) * act_l
             nstep = s.nstep + active
             obj = norm(g_new)
@@ -296,18 +330,20 @@ def _broyden_in_kernel_packed(resid, z0, *, c8, HW, reps, threshold, eps_i,
             else:
                 best_snap = s.best_snap
 
-            # Rank-1 secant update, per-example contractions via segment sums.
+            # Rank-1 secant update, per-example contractions via segment
+            # sums; delta_z is the step actually taken (== update unless the
+            # line search shortened it).
             UVd = zero_plane
             UVg = zero_plane
-            vT = -s.update
+            vT = -delta_z
             for k in range(K):
                 UVd = UVd + s.U[k] * to_lanes(seg_sum(s.V[k] * delta_g))
                 UVg = UVg + s.U[k] * to_lanes(seg_sum(s.V[k] * g_new))
-                vT = vT + s.V[k] * to_lanes(seg_sum(s.U[k] * s.update))
+                vT = vT + s.V[k] * to_lanes(seg_sum(s.U[k] * delta_z))
             matvec_dgx = -delta_g + UVd
             matvec_gx = -g_new + UVg
             denom_l = to_lanes(seg_sum(vT * delta_g))
-            u = (s.update - matvec_dgx) / denom_l
+            u = (delta_z - matvec_dgx) / denom_l
             vT = jnp.where(jnp.isfinite(vT), vT, 0.0)
             u = jnp.where(jnp.isfinite(u), u, 0.0)
 
@@ -385,7 +421,8 @@ class _LoopState(NamedTuple):
 
 def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
                        stall_patience, stall_rtol, stall_guard=None,
-                       newton_init=False, tail=None, tail_start=None):
+                       newton_init=False, tail=None, tail_start=None,
+                       line_search=False):
     """The Broyden while_loop, run entirely inside a kernel for ONE example.
 
     Semantics mirror ``ops.broyden.broyden`` per example (best-iterate,
@@ -438,6 +475,39 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
         def body(s):
             z_new = s.z + s.update
             g_new, aux_new = eval_resid(z_new)
+            if line_search:
+                # Bounded 2-trial Armijo backtracking, mirroring the XLA
+                # solver (ops/broyden.py:212-246; reference
+                # scalar_search_armijo, broyden.py:24-99): quadratic-
+                # interpolant step (clamped to the reference's amin=1e-2),
+                # then its half; rows failing both keep the full step. The
+                # extra evals sit under a lax.cond on failure.
+                c1 = 1e-4
+                phi0 = jnp.sum(s.gx * s.gx)
+                phi1 = jnp.sum(g_new * g_new)
+                fail = phi1 > phi0 * (1.0 - c1)
+
+                def backtrack(args):
+                    z1, g1, aux1 = args
+                    sq = jnp.clip(phi0 / (2.0 * phi1 + 1e-30), 1e-2, 1.0)
+                    z_q = s.z + sq * s.update
+                    g_q, aux_q = eval_resid(z_q)
+                    phi_q = jnp.sum(g_q * g_q)
+                    ok_q = phi_q <= phi0 * (1.0 - c1 * sq)
+                    sh = sq * 0.5
+                    z_h = s.z + sh * s.update
+                    g_h, aux_h = eval_resid(z_h)
+                    phi_h = jnp.sum(g_h * g_h)
+                    ok_h = phi_h <= phi0 * (1.0 - c1 * sh)
+                    sel = lambda a_q, a_h, a_1: jnp.where(
+                        ok_q, a_q, jnp.where(ok_h, a_h, a_1))
+                    aux_sel = tuple(sel(aq, ah, a1) for aq, ah, a1
+                                    in zip(aux_q, aux_h, aux1))
+                    return sel(z_q, z_h, z1), sel(g_q, g_h, g1), aux_sel
+
+                z_new, g_new, aux_new = jax.lax.cond(
+                    fail, backtrack, lambda a: a, (z_new, g_new, aux_new))
+            delta_z = z_new - s.z if line_search else s.update
             delta_g = g_new - s.gx
             nstep = s.nstep + 1
             obj = norm(g_new)
@@ -465,17 +535,19 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
 
             # Rank-1 secant update (broyden.py:174-181); all contractions are
             # elementwise-multiply + scalar-reduce over (c8, HW) planes.
+            # delta_z is the step actually taken (== update unless the line
+            # search shortened it).
             UVd = zero_plane
             UVg = zero_plane
-            vT = -s.update
+            vT = -delta_z
             for k in range(K):
                 UVd = UVd + s.U[k] * jnp.sum(s.V[k] * delta_g)
                 UVg = UVg + s.U[k] * jnp.sum(s.V[k] * g_new)
-                vT = vT + s.V[k] * jnp.sum(s.U[k] * s.update)
+                vT = vT + s.V[k] * jnp.sum(s.U[k] * delta_z)
             matvec_dgx = -delta_g + UVd
             matvec_gx = -g_new + UVg
             denom = jnp.sum(vT * delta_g)
-            u = (s.update - matvec_dgx) / denom
+            u = (delta_z - matvec_dgx) / denom
             vT = jnp.where(jnp.isfinite(vT), vT, 0.0)
             u = jnp.where(jnp.isfinite(u), u, 0.0)
 
@@ -525,7 +597,8 @@ def _solve_kernel(betas_ref, x_ref,
                   z_out_ref, g_out_ref, diag_ref,
                   *, H, W, reps, c8, mid, threshold, eps_i, stall_patience,
                   stall_rtol, stall_guard, newton_init, preact_x, preact_z,
-                  warm_start, mode, tail_mode=None, tail_start=None):
+                  warm_start, mode, tail_mode=None, tail_start=None,
+                  line_search=False):
     f32 = jnp.float32
     RHW = reps * H * W
     shifted = _make_shifted(H, W, reps)
@@ -568,7 +641,7 @@ def _solve_kernel(betas_ref, x_ref,
                                eps_i=eps_i, stall_patience=stall_patience,
                                stall_rtol=stall_rtol, stall_guard=stall_guard,
                                newton_init=newton_init, tail=tail,
-                               tail_start=tail_start)
+                               tail_start=tail_start, line_search=line_search)
     else:
         s = _broyden_in_kernel_packed(resid, z0,
                                       c8=c8, HW=H * W, reps=reps,
@@ -577,7 +650,8 @@ def _solve_kernel(betas_ref, x_ref,
                                       stall_rtol=stall_rtol,
                                       stall_guard=stall_guard,
                                       newton_init=newton_init, tail=tail,
-                                      tail_start=tail_start)
+                                      tail_start=tail_start,
+                                      line_search=line_search)
 
     z_out_ref[0] = s.best_z
     g_out_ref[0] = s.best_gx
@@ -625,7 +699,8 @@ def _make_apply_jt(shifted, dot, m3, m2, m1, s0, s1, s2, c8, HW):
 def _backward_kernel(grad_ref, s0_ref, s1_ref, s2_ref,
                      m3_ref, m2_ref, m1_ref, u_out_ref,
                      *, H, W, reps, c8, mid, threshold, eps_i, stall_patience,
-                     stall_rtol, stall_guard, newton_init, mode):
+                     stall_rtol, stall_guard, newton_init, mode,
+                     line_search=False):
     """Solve u (I + J_gz) = grad for one example (or ``reps`` lane-packed
     examples), fully in VMEM: the linearization tensors s0/s1/s2 stay
     resident across all iterations (the XLA path re-streams them per VJP
@@ -644,7 +719,8 @@ def _backward_kernel(grad_ref, s0_ref, s1_ref, s2_ref,
                                c8=c8, HW=RHW, threshold=threshold,
                                eps_i=eps_i, stall_patience=stall_patience,
                                stall_rtol=stall_rtol, stall_guard=stall_guard,
-                               newton_init=newton_init)
+                               newton_init=newton_init,
+                               line_search=line_search)
     else:
         s = _broyden_in_kernel_packed(resid, jnp.zeros((c8, RHW), f32),
                                       c8=c8, HW=H * W, reps=reps,
@@ -652,13 +728,14 @@ def _backward_kernel(grad_ref, s0_ref, s1_ref, s2_ref,
                                       stall_patience=stall_patience,
                                       stall_rtol=stall_rtol,
                                       stall_guard=stall_guard,
-                                      newton_init=newton_init)
+                                      newton_init=newton_init,
+                                      line_search=line_search)
     u_out_ref[0] = s.best_z
 
 
 def fused_backward_solve(grad, chain_data, *, threshold, eps,
                          stall_patience, stall_rtol, stall_guard=None,
-                         newton_init=False, mode="bf16",
+                         newton_init=False, mode="bf16", line_search=False,
                          interpret=False, reps=1):
     """Fused implicit-gradient solve ``u (I + J_gz) = grad``
     (``imBlock.Backward.backward``, reference implicit_block.py:196-206).
@@ -706,7 +783,8 @@ def fused_backward_solve(grad, chain_data, *, threshold, eps,
                               mid=mid, threshold=int(threshold), eps_i=eps_i,
                               stall_patience=stall_patience,
                               stall_rtol=stall_rtol, stall_guard=stall_guard,
-                              newton_init=newton_init, mode=mode),
+                              newton_init=newton_init, mode=mode,
+                              line_search=line_search),
             grid=(Bl,),
             in_specs=[pl.BlockSpec((1, c8, RHW), ex),
                       pl.BlockSpec((1, c8, RHW), ex),
@@ -1597,7 +1675,8 @@ def fused_block_forward(x, data_x, data_z, eps_x, eps_z, signed_coeffs,
             stall_guard=stall_guard, newton_init=newton_init,
             preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
             warm_start=bool(warm_start), mode=mode, tail_mode=tail_mode,
-            tail_start=None if tail_start is None else int(tail_start))
+            tail_start=None if tail_start is None else int(tail_start),
+            line_search=bool(line_search))
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -1633,6 +1712,7 @@ def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
                         stall_patience, stall_rtol, stall_guard=None,
                         newton_init=False, warm_start=False,
                         mode="tf32", tail_mode=None, tail_start=None,
+                        line_search=False,
                         interpret=False, reps=1) -> FusedSolveResult:
     """Solve ``z : x + g_x(x) = z + g_z(z)`` for a batch, fully in-kernel.
 
@@ -1694,7 +1774,8 @@ def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
             stall_guard=stall_guard, newton_init=newton_init,
             preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
             warm_start=bool(warm_start), mode=mode, tail_mode=tail_mode,
-            tail_start=None if tail_start is None else int(tail_start))
+            tail_start=None if tail_start is None else int(tail_start),
+            line_search=bool(line_search))
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,

@@ -372,5 +372,61 @@ def test_precision_ladder_noop_when_phase1_converges(monkeypatch):
                                   np.asarray(base.nstep))
 
 
+@pytest.mark.parametrize("reps", [1, 2])
+def test_fused_line_search_matches_xla(monkeypatch, reps):
+    """Armijo line search on the fused path (round 4 — previously the ls
+    flag forced the XLA solver): same root and convergence as the XLA
+    line-search solver on identical weights/inputs, for both the scalar
+    and lane-packed kernels."""
+    monkeypatch.setenv("IMNF_SOLVER_PRECISION", "float32")
+    monkeypatch.setenv("IMNF_LINE_SEARCH", "1")
+    block = _make_block()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "0")
+    monkeypatch.setenv("IMNF_FUSED_BWD", "0")
+    z_xla, _, diag_xla = block.forward(variables, x)
+
+    monkeypatch.setenv("IMNF_FUSED_SOLVE", "interpret")
+    monkeypatch.setenv("IMNF_FUSED_BWD", "interpret")
+    monkeypatch.setenv("IMNF_FUSED_PACK_LANES", str(64 * reps))
+    z_fused, _, diag_fused = block.forward(variables, x)
+
+    np.testing.assert_allclose(np.asarray(z_fused), np.asarray(z_xla),
+                               rtol=1e-4, atol=1e-5)
+    d = np.asarray(diag_fused["solver_diag"]).reshape(-1)
+    assert d[1] == 1.0  # converged fraction 1.0 under ls too
+
+
+def test_fused_line_search_shortens_overshoot(monkeypatch):
+    """On a residual engineered to overshoot (large first step), the
+    line-search kernel must still converge within budget where semantics
+    demand backtracking engages (accepted steps < 1 leave the converged
+    flag set and the root equal to the no-ls solve's)."""
+    from implicit_normalizing_flows_tpu.ops.fused_solve import (
+        fused_broyden_solve,
+    )
+
+    block = _make_block()
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(3), x)
+    vx = {"params": variables["params"]["nnet_x"],
+          "state": variables["state"]["nnet_x"]}
+    vz = {"params": variables["params"]["nnet_z"],
+          "state": variables["state"]["nnet_z"]}
+    data_x = block.nnet_x.conv_forward_data(vx)
+    data_z = block.nnet_z.conv_forward_data(vz)
+    kw = dict(threshold=30, eps=1e-6, stall_patience=5, stall_rtol=0.05,
+              stall_guard=3.0, newton_init=False, interpret=True, reps=1,
+              mode="f32")
+    plain = fused_broyden_solve(x, data_x, data_z, **kw)
+    ls = fused_broyden_solve(x, data_x, data_z, line_search=True, **kw)
+    assert bool(jnp.all(ls.converged))
+    np.testing.assert_allclose(np.asarray(ls.result),
+                               np.asarray(plain.result), rtol=1e-4,
+                               atol=1e-5)
+
+
 # CPU Pallas interpreter: minutes per file; excluded from the fast CI subset
 pytestmark = [pytest.mark.slow, pytest.mark.kernels]
