@@ -46,7 +46,19 @@ class StepWindowProfiler:
             self.start_step = step
             self.stop_step = step + n
         try:
-            jax.profiler.start_trace(self.out_dir)
+            # Silence the python/host tracers: the exported Chrome trace is
+            # capped at ~1M events, and host-python spam can evict every
+            # DEVICE event from the export (seen on the axon tunnel —
+            # parse_trace then reports 0 ms device time). Device op events
+            # are the entire point of the capture.
+            opts = None
+            try:
+                opts = jax.profiler.ProfileOptions()
+                opts.python_tracer_level = 0
+                opts.host_tracer_level = 1
+            except Exception:
+                pass  # older jax: no options support
+            jax.profiler.start_trace(self.out_dir, profiler_options=opts)
             self._active = True
             logging.getLogger().info(
                 f"profiler: tracing steps [{self.start_step}, "
