@@ -482,6 +482,7 @@ def _make_implicit_forward_est(nnet_x, nnet_z, cfg: SolverConfig):
             stall_patience=cfg.stall_patience, stall_rtol=cfg.stall_rtol,
             stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
+            line_search=cfg.line_search,
             interpret=interp, **_ladder_args(cfg.threshold))
 
         B = x.shape[0]
@@ -652,7 +653,7 @@ class ImplicitBlock(Flow):
                 and not cfg.brute_force):
             return False
         env = kernel_config().fused_block
-        if env == "0" or kernel_config().line_search:
+        if env == "0":
             return False
         if env != "interpret":
             if jax.devices()[0].platform != "tpu":

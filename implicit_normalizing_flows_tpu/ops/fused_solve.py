@@ -366,6 +366,8 @@ def _broyden_in_kernel_packed(resid, z0, *, c8, HW, reps, threshold, eps_i,
 
         return cond, body
 
+    if tail_start is None:
+        tail_start = threshold // 2  # matches KernelConfig's ladder_start auto
     cap1 = threshold if tail is None else min(int(tail_start), threshold)
     cond1, body1 = make_loop(resid, cap1)
     s = jax.lax.while_loop(cond1, body1, s0)
@@ -564,6 +566,8 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
 
         return cond, body
 
+    if tail_start is None:
+        tail_start = threshold // 2  # matches KernelConfig's ladder_start auto
     cap1 = threshold if tail is None else min(int(tail_start), threshold)
     cond1, body1 = make_loop(eval0, cap1)
     s = jax.lax.while_loop(cond1, body1, s0)
@@ -1515,7 +1519,7 @@ def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
                       *, H, W, c8, mid, threshold, eps_i, stall_patience,
                       stall_rtol, stall_guard, newton_init, preact_x,
                       preact_z, warm_start, mode, tail_mode=None,
-                      tail_start=None):
+                      tail_start=None, line_search=False):
     """One example's ENTIRE implicit-block forward compute: the Broyden solve
     (both nets' conv evals in-kernel) followed by BOTH nets' Neumann-chain
     accumulations, with the activation-derivative tensors built from the
@@ -1573,7 +1577,7 @@ def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
                            stall_patience=stall_patience,
                            stall_rtol=stall_rtol, stall_guard=stall_guard,
                            newton_init=newton_init, tail=tail,
-                           tail_start=tail_start)
+                           tail_start=tail_start, line_search=line_search)
     # One extra eval at the best iterate for the chain linearization —
     # cheaper than carrying (h1, h2) through the while loop (measured: the
     # bigger carry costs ~2.5 ms/block at 32x32; the eval ~0.7 ms).
@@ -1615,7 +1619,7 @@ def fused_block_forward(x, data_x, data_z, eps_x, eps_z, signed_coeffs,
                         n_power, *, threshold, eps, stall_patience,
                         stall_rtol, stall_guard=None, newton_init=False,
                         warm_start=False, mode="tf32", tail_mode=None,
-                        tail_start=None, interpret=False):
+                        tail_start=None, line_search=False, interpret=False):
     """Fused solve + both Neumann-chain accumulations for one implicit block.
 
     ``eps_x``/``eps_z``: (B, c, H, W) Rademacher probes. ``signed_coeffs``:

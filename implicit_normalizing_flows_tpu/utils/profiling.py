@@ -58,7 +58,10 @@ class StepWindowProfiler:
                 opts.host_tracer_level = 1
             except Exception:
                 pass  # older jax: no options support
-            jax.profiler.start_trace(self.out_dir, profiler_options=opts)
+            if opts is not None:
+                jax.profiler.start_trace(self.out_dir, profiler_options=opts)
+            else:  # older jax: the kwarg itself doesn't exist either
+                jax.profiler.start_trace(self.out_dir)
             self._active = True
             logging.getLogger().info(
                 f"profiler: tracing steps [{self.start_step}, "

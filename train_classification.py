@@ -247,6 +247,7 @@ def main(argv=None):
 
     train_step = make_train_step(args.lr)
     cur_lr = args.lr
+    test_acc = float("nan")  # --epochs 0: nothing evaluated
     for epoch in range(args.epochs):
         lr = args.lr
         if epoch >= 75:
