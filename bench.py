@@ -153,7 +153,8 @@ def main():
 # lost between rounds, silently dropping the sustained section; and
 # end-of-run checkpoints get harder every round as runs train further —
 # r4's epoch-13 regime is conditioning-limited per hard_regime_r4.json.)
-SUSTAINED_CKPT_FIXED = "experiments/cifar10_long_r4/bench_ckpt.pkl"
+# npz (non-executable) per the r4 advisor: np.load(allow_pickle=False)
+SUSTAINED_CKPT_FIXED = "experiments/cifar10_long_r4/bench_ckpt.npz"
 # End-of-run checkpoints (hardest regime reached), reported as
 # sustained_final_* when present in the tree.
 SUSTAINED_CKPTS_FINAL = [
@@ -234,6 +235,10 @@ def sustained_section(model, step, optimizer, batch, size, steps):
         out.update(_measure_ckpt(fixed, step, optimizer, batch, size, steps,
                                  "sustained"))
     else:
+        if os.environ.get("BENCH_REQUIRE_SUSTAINED"):
+            raise SystemExit(
+                f"BENCH_REQUIRE_SUSTAINED=1 but {fixed} is missing: the "
+                "headline sustained number would silently vanish")
         out["sustained_samples_per_sec"] = None
         out["sustained_note"] = "fixed bench checkpoint missing"
     final = next((os.path.join(here, p) for p in SUSTAINED_CKPTS_FINAL

@@ -36,14 +36,20 @@ class KernelConfig:
     reattach_precision: str = "bf16"
     # run the Neumann estimator chains in bfloat16.              [IMNF_BF16_EST]
     bf16_est: bool = True
-    # precision-ladder tail for the fused forward/inverse solves: after
+    # precision-ladder tail(s) for the fused forward/inverse solves: after
     # solver-precision iterations converge/stall/cap out, re-arm the
-    # still-unconverged examples at this precision ("f32") under the same
-    # shared iteration budget. Fixes the tf32 arithmetic noise floor
-    # (experiments/hard_regime_r3_final.json: ~17% of mid-training examples
-    # stuck between eps and 3x eps) without paying f32 on the examples that
-    # don't need it. "" disables.                           [IMNF_SOLVER_TAIL]
-    solver_tail: str = "f32"
+    # still-unconverged examples at these precisions (comma-separated
+    # stages, ascending) under the same shared iteration budget. Fixes the
+    # tf32 arithmetic noise floor (experiments/hard_regime_r3_final.json:
+    # ~17% of mid-training examples stuck between eps and 3x eps) without
+    # paying f32 on the examples that don't need it. Default (r5): the
+    # 4-pass tf32x emulation first — it strictly converges the same
+    # examples as f32 on the saturated bench checkpoint at 2/3 the per-dot
+    # cost (solve_lab_multi2.json) — with f32 kept as the backstop for the
+    # conditioning-limited late-training regime where tf32x's floor shows
+    # (BENCH r4 final-ckpt conv3eps 0.656 under tf32x-only vs 1.0 under
+    # f32). "" disables.                                  [IMNF_SOLVER_TAIL]
+    solver_tail: str = "tf32x,f32"
     # forced phase-1 iteration cap before the ladder switches precision even
     # without a stall exit; 0 = auto (threshold // 2).     [IMNF_LADDER_START]
     ladder_start: int = 0
@@ -82,6 +88,12 @@ class KernelConfig:
     pallas_broyden: bool = False
     # estimator final-term form: "vjp" | "dots".              [IMNF_FINAL_FORM]
     final_form: str = "vjp"
+    # keep the Broyden secant factors (U/V rank-1 planes) in VMEM scratch
+    # refs with dynamic stores + a dynamic-trip-count contraction loop,
+    # instead of a 2K-plane while_loop carry with an unrolled ring-buffer
+    # select. Skips the O(threshold - nstep) dead-plane work each iteration
+    # (r5; measured on the sustained bench).               [IMNF_SECANT_REFS]
+    secant_refs: bool = True
 
     # --- solver budgets / behavior ---------------------------------------
     # initialize the forward solve at z0 = x (the block input) instead of
@@ -149,6 +161,7 @@ _ENV_BY_FIELD = {
     "chain_pack_lanes": "IMNF_CHAIN_PACK_LANES",
     "pallas_broyden": "IMNF_PALLAS",
     "final_form": "IMNF_FINAL_FORM",
+    "secant_refs": "IMNF_SECANT_REFS",
     "warm_start": "IMNF_WARM_START",
     "fwd_threshold": "IMNF_FWD_THRESHOLD",
     "bwd_threshold": "IMNF_BWD_THRESHOLD",

@@ -152,20 +152,29 @@ def _fused_solve_mode():
     return "tf32"
 
 
+_PREC_RANK = {"bf16": 0, "tf32": 1, "tf32x": 2, "f32": 3}
+
+
 def _ladder_args(threshold):
     """Precision-ladder kwargs for the fused solves (config.solver_tail):
     phase 1 at solver_precision, unconverged examples re-armed at the tail
-    precision under the shared budget. No-op when the base mode already is
-    the tail mode or the ladder is disabled."""
+    precision(s) under the shared budget. ``solver_tail`` may name multiple
+    comma-separated stages (r5: "tf32x,f32" — the cheaper 4-pass emulation
+    first, f32 as the backstop); stages not strictly higher precision than
+    the base mode are dropped. No-op when nothing remains."""
     kc = kernel_config()
     t = kc.solver_tail
     if not t or t in ("none", "0"):
         return {}
     mode = _fused_solve_mode()
-    if mode == "f32" or t == mode:
+    stages = tuple(m.strip() for m in t.split(",") if m.strip())
+    stages = tuple(m for m in stages
+                   if _PREC_RANK.get(m, 99) > _PREC_RANK.get(mode, 0))
+    if not stages:
         return {}
     start = kc.ladder_start if kc.ladder_start > 0 else max(1, threshold // 2)
-    return {"tail_mode": t, "tail_start": min(start, threshold)}
+    return {"tail_mode": stages if len(stages) > 1 else stages[0],
+            "tail_start": min(start, threshold)}
 
 
 def _pack_reps_for(x, target=None):
@@ -224,6 +233,7 @@ def _make_implicit_forward(nnet_x, nnet_z, cfg: SolverConfig):
             stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
             line_search=cfg.line_search,
+            secant_refs=kernel_config().secant_refs,
             interpret=interp, reps=reps, **_ladder_args(cfg.threshold))
 
         B = x.shape[0]
@@ -483,6 +493,7 @@ def _make_implicit_forward_est(nnet_x, nnet_z, cfg: SolverConfig):
             stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
             line_search=cfg.line_search,
+            secant_refs=kernel_config().secant_refs,
             interpret=interp, **_ladder_args(cfg.threshold))
 
         B = x.shape[0]
@@ -781,6 +792,7 @@ class ImplicitBlock(Flow):
             stall_guard=cfg.stall_guard, newton_init=cfg.newton_init,
             warm_start=cfg.warm_start, mode=_fused_solve_mode(),
             line_search=self.solver_cfg.line_search,
+            secant_refs=kernel_config().secant_refs,
             interpret=interp, reps=reps, **_ladder_args(cfg.threshold))
         B = z.shape[0]
         flat = lambda a: a.reshape(B, -1)

@@ -139,6 +139,100 @@ def _make_dot(mode):
     return dot
 
 
+def _make_wdot(mode, w, kpack=False):
+    """Per-weight dot closure ``t (K, N) -> w @ t (M, N) f32`` with the
+    WEIGHT-side precision prep (hi/lo split or bf16 cast) hoisted to closure
+    creation. Inside a solver/chain loop the weights are loop-invariant but
+    Mosaic does not reliably hoist the split itself (microbench r5:
+    ~4% per-eval win at the CIFAR shapes, experiments/fused_solve_microbench
+    _r5.json); building the closure once outside the loop guarantees it.
+    Same arithmetic and accumulation order as ``_make_dot(mode)``.
+
+    ``kpack`` (tf32/tf32x only): fuse the 3 (4) emulation passes into ONE
+    dot with the hi/lo parts concatenated along the contraction axis:
+    ``[W_hi W_hi W_lo] @ [T_hi; T_lo; T_hi]``. For small contractions
+    (conv1's im2col K = 9*c8 = 72 at 3 channels) the separate passes each
+    under-fill the 128-lane MXU contraction; packing K-major cuts the
+    K-tile pass count (72: 3x1 tile -> 2 tiles; device-measured -9.6%
+    per solver iteration at the CIFAR shapes, r5). All partial products
+    accumulate in ONE dot accumulator instead of three summed outputs —
+    error strictly no larger than the 3-pass form (~5e-8 rel measured)."""
+    f32 = jnp.float32
+    dn = (((1,), (0,)), ((), ()))
+
+    if mode == "f32":
+        def dot(t):
+            return jax.lax.dot_general(w, t, dn, preferred_element_type=f32,
+                                       precision=jax.lax.Precision.HIGHEST)
+        return dot
+
+    if mode == "bf16":
+        wb = w.astype(jnp.bfloat16)
+
+        def dot(t):
+            return jax.lax.dot_general(wb, t.astype(jnp.bfloat16), dn,
+                                       preferred_element_type=f32)
+        return dot
+
+    extra = mode == "tf32x"
+    w_hi, w_lo = _split_hi_lo(w)
+
+    if kpack:
+        parts = [w_hi, w_hi, w_lo] + ([w_lo] if extra else [])
+        w_pack = jnp.concatenate(parts, axis=1)         # (M, 3K or 4K)
+
+        def dot(t):
+            t_hi, t_lo = _split_hi_lo(t)
+            tp = [t_hi, t_lo, t_hi] + ([t_lo] if extra else [])
+            return jax.lax.dot_general(
+                w_pack, jnp.concatenate(tp, axis=0), dn,
+                preferred_element_type=f32)
+        return dot
+
+    def dot(t):
+        t_hi, t_lo = _split_hi_lo(t)
+        out = jax.lax.dot_general(w_hi, t_hi, dn, preferred_element_type=f32)
+        out += jax.lax.dot_general(w_hi, t_lo, dn, preferred_element_type=f32)
+        out += jax.lax.dot_general(w_lo, t_hi, dn, preferred_element_type=f32)
+        if extra:
+            out += jax.lax.dot_general(w_lo, t_lo, dn,
+                                       preferred_element_type=f32)
+        return out
+
+    return dot
+
+
+def _norm_ladder(threshold, tail_mode, tail_start):
+    """Normalise the precision-ladder spec to (modes, starts) tuples.
+
+    ``tail_mode``: None | mode str | comma-joined / iterable of mode strs
+    (multi-stage, r5: e.g. "tf32x,f32" — re-arm still-unconverged examples
+    at tf32x first, the cheaper 4-pass emulation, and keep f32 as the
+    backstop for what tf32x's floor can't reach). ``starts[i]`` is the
+    iteration cap at which stage i may begin; stage i runs until
+    ``starts[i+1]`` (the last until ``threshold``). Auto spacing halves the
+    remaining budget per stage: threshold 30 -> (15, 22) for two stages
+    (phase-1 auto matches the single-stage threshold//2 rule)."""
+    if tail_mode is None:
+        return (), ()
+    modes = tuple(m for m in (tail_mode.split(",")
+                              if isinstance(tail_mode, str) else tail_mode)
+                  if m)
+    if not modes:
+        return (), ()
+    if isinstance(tail_start, (tuple, list)):
+        starts = tuple(min(int(v), threshold) for v in tail_start)
+        if len(starts) != len(modes):
+            raise ValueError("tail_start tuple must match tail_mode stages")
+        return modes, starts
+    s = threshold // 2 if tail_start is None else int(tail_start)
+    starts = []
+    for _ in modes:
+        starts.append(min(int(s), threshold))
+        s = s + max(1, (threshold - s) // 2)
+    return modes, tuple(starts)
+
+
 def _swish(t, b):
     return t * jax.nn.sigmoid(t * b) * jnp.float32(1.0 / 1.1)
 
@@ -148,25 +242,33 @@ def _dswish(t, b):
     return (s + t * b * s * (1.0 - s)) * jnp.float32(1.0 / 1.1)
 
 
-def _make_eval(shifted, dot, m1, m2, m3, b1, b2, b3, beta0, beta1, beta2,
+def _make_eval(shifted, mode, m1, m2, m3, b1, b2, b3, beta0, beta1, beta2,
                preact, c8, HW, want_aux=False):
     """h (c8, HW) f32 -> net(h) (c8, HW) f32 with swish + biases in-kernel.
+
+    ``mode`` is a precision-mode string; the per-weight dot closures are
+    built once here so the weight-side precision prep sits OUTSIDE the
+    solver loop (see ``_make_wdot``).
 
     With ``want_aux`` the eval also returns the pre-activation tensors
     ``(h1, h2)`` — enough (with the input) to reconstruct the activation
     derivatives s0/s1/s2 for the Neumann chain's J^T applications.
     """
+    # conv1's im2col contraction (9*c8) under-fills the MXU K dimension at
+    # image channel counts; K-pack its emulation passes (see _make_wdot).
+    d1 = _make_wdot(mode, m1, kpack=True)
+    d2, d3 = (_make_wdot(mode, m) for m in (m2, m3))
 
     def eval_net(h):
         if preact:
             h = _swish(h, beta0)
         xsh = jnp.concatenate(
             [shifted(h, -dy, -dx) for (dy, dx) in _OFFSETS], axis=0)
-        h1 = dot(m1, xsh) + b1                      # (mid, HW)
+        h1 = d1(xsh) + b1                           # (mid, HW)
         t = _swish(h1, beta1)
-        h2 = dot(m2, t) + b2
+        h2 = d2(t) + b2
         t = _swish(h2, beta2)
-        R = dot(m3, t)                              # (9*c8, HW)
+        R = d3(t)                                   # (9*c8, HW)
         y = jnp.zeros((c8, HW), jnp.float32)
         for d, (dy, dx) in enumerate(_OFFSETS):
             y += shifted(R[d * c8:(d + 1) * c8], -dy, -dx)
@@ -223,7 +325,7 @@ class _PackedLoopState(NamedTuple):
 
 def _broyden_in_kernel_packed(resid, z0, *, c8, HW, reps, threshold, eps_i,
                               stall_patience, stall_rtol, stall_guard=None,
-                              newton_init=False, tail=None, tail_start=None,
+                              newton_init=False, tails=(), stage_caps=(),
                               line_search=False):
     """Lane-packed twin of :func:`_broyden_in_kernel`: ``reps`` examples per
     program, each with its own convergence/stall/protective-break state.
@@ -366,42 +468,54 @@ def _broyden_in_kernel_packed(resid, z0, *, c8, HW, reps, threshold, eps_i,
 
         return cond, body
 
-    if tail_start is None:
-        tail_start = threshold // 2  # matches KernelConfig's ladder_start auto
-    cap1 = threshold if tail is None else min(int(tail_start), threshold)
+    cap1 = stage_caps[0] if tails else threshold
     cond1, body1 = make_loop(resid, cap1)
     s = jax.lax.while_loop(cond1, body1, s0)
-    if tail is None:
-        return s
 
-    def run_tail(s):
-        resid_t = tail()
-        need = (1.0 - s.prot) * b2f(s.best_obj >= eps_i)     # (1, reps)
-        nl = to_lanes(need)
-        g_b = resid_t(s.best_z)
-        obj = norm(g_b)
-        # re-apply the carried inverse-Jacobian estimate to the re-evaluated
-        # residual for the re-armed lanes; frozen lanes keep their state.
-        UVg = zero_plane
-        for k in range(K):
-            UVg = UVg + s.U[k] * to_lanes(seg_sum(s.V[k] * g_b))
-        s2 = _PackedLoopState(
-            z=jnp.where(nl > 0.5, s.best_z, s.z),
-            gx=jnp.where(nl > 0.5, g_b, s.gx),
-            update=jnp.where(nl > 0.5, g_b - UVg, s.update),
-            U=s.U, V=s.V,
-            best_z=s.best_z,
-            best_gx=jnp.where(nl > 0.5, g_b, s.best_gx),
-            best_obj=jnp.where(need > 0.5, obj, s.best_obj),
-            best_snap=jnp.where(need > 0.5, obj, s.best_snap),
-            best_step=s.best_step, nstep=s.nstep, prot=s.prot,
-            done=jnp.where(need > 0.5,
-                           jnp.maximum(s.prot, b2f(obj < eps_i)), s.done))
-        cond2, body2 = make_loop(resid_t, threshold)
-        return jax.lax.while_loop(cond2, body2, s2)
+    def make_run_tail(j):
+        tail_fn = tails[j]
+        cap = stage_caps[j + 1] if j + 1 < len(stage_caps) else threshold
 
-    any_need = jnp.max((1.0 - s.prot) * b2f(s.best_obj >= eps_i)) > 0.5
-    return jax.lax.cond(any_need, run_tail, lambda s: s, s)
+        def run_tail(s):
+            resid_t = tail_fn()
+            need = (1.0 - s.prot) * b2f(s.best_obj >= eps_i)  # (1, reps)
+            nl = to_lanes(need)
+            g_b = resid_t(s.best_z)
+            obj = norm(g_b)
+            # re-apply the carried inverse-Jacobian estimate to the
+            # re-evaluated residual for the re-armed lanes; frozen lanes
+            # keep their state.
+            UVg = zero_plane
+            for k in range(K):
+                UVg = UVg + s.U[k] * to_lanes(seg_sum(s.V[k] * g_b))
+            s2 = _PackedLoopState(
+                z=jnp.where(nl > 0.5, s.best_z, s.z),
+                gx=jnp.where(nl > 0.5, g_b, s.gx),
+                update=jnp.where(nl > 0.5, g_b - UVg, s.update),
+                U=s.U, V=s.V,
+                best_z=s.best_z,
+                best_gx=jnp.where(nl > 0.5, g_b, s.best_gx),
+                best_obj=jnp.where(need > 0.5, obj, s.best_obj),
+                best_snap=jnp.where(need > 0.5, obj, s.best_snap),
+                best_step=s.best_step, nstep=s.nstep, prot=s.prot,
+                done=jnp.where(need > 0.5,
+                               jnp.maximum(s.prot, b2f(obj < eps_i)),
+                               s.done))
+            cond2, body2 = make_loop(resid_t, cap)
+            s3 = jax.lax.while_loop(cond2, body2, s2)
+            if j + 1 < len(tails):
+                # nested like the scalar variant: one top-level cond total
+                nxt = jnp.max((1.0 - s3.prot) * b2f(s3.best_obj >= eps_i))
+                s3 = jax.lax.cond(nxt > 0.5, make_run_tail(j + 1),
+                                  lambda s: s, s3)
+            return s3
+
+        return run_tail
+
+    if tails:
+        any_need = jnp.max((1.0 - s.prot) * b2f(s.best_obj >= eps_i)) > 0.5
+        s = jax.lax.cond(any_need, make_run_tail(0), lambda s: s, s)
+    return s
 
 
 class _LoopState(NamedTuple):
@@ -423,8 +537,8 @@ class _LoopState(NamedTuple):
 
 def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
                        stall_patience, stall_rtol, stall_guard=None,
-                       newton_init=False, tail=None, tail_start=None,
-                       line_search=False):
+                       newton_init=False, tails=(), stage_caps=(),
+                       line_search=False, uv_refs=None):
     """The Broyden while_loop, run entirely inside a kernel for ONE example.
 
     Semantics mirror ``ops.broyden.broyden`` per example (best-iterate,
@@ -447,11 +561,26 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
     under the remaining shared ``threshold`` budget. The whole tail
     (including the one re-evaluation) sits under a ``lax.cond``, so programs
     whose examples all converged in phase 1 pay nothing.
+
+    ``uv_refs`` (optional): a pair of (threshold*c8, HW) f32 VMEM scratch
+    refs holding the U/V rank-1 factors plane-major. When given, the factors
+    leave the while_loop carry: the ring-buffer write becomes ONE dynamic
+    sublane-offset store per factor (instead of an unrolled K-plane select),
+    and the matvec contractions run a dynamic-trip-count fori_loop over the
+    nstep planes actually written — the ring never wraps (nstep <= threshold
+    per solve), so planes nstep..K-1 are never touched, skipping the
+    O(threshold - nstep) dead-plane work the carried form pays every
+    iteration (IMNF_SECANT_REFS; same arithmetic, same iterates).
     """
     f32 = jnp.float32
     norm = lambda g: jnp.sqrt(jnp.sum(g * g))
     K = threshold
     zero_plane = jnp.zeros((c8, HW), f32)
+    use_refs = uv_refs is not None
+    if use_refs:
+        from jax.experimental import pallas as pl
+
+        U_ref, V_ref = uv_refs
 
     def wrap(fn):
         def eval_resid(z):
@@ -464,7 +593,8 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
     init_obj = norm(g0)
     s0 = _LoopState(
         z=z0, gx=g0, update=g0 if newton_init else -g0,
-        U=(zero_plane,) * K, V=(zero_plane,) * K,
+        U=() if use_refs else (zero_plane,) * K,
+        V=() if use_refs else (zero_plane,) * K,
         best_z=z0, best_gx=g0, best_aux=aux0, best_obj=init_obj,
         best_snap=init_obj,
         best_step=jnp.zeros((), jnp.int32), nstep=jnp.zeros((), jnp.int32),
@@ -539,13 +669,29 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
             # elementwise-multiply + scalar-reduce over (c8, HW) planes.
             # delta_z is the step actually taken (== update unless the line
             # search shortened it).
-            UVd = zero_plane
-            UVg = zero_plane
-            vT = -delta_z
-            for k in range(K):
-                UVd = UVd + s.U[k] * jnp.sum(s.V[k] * delta_g)
-                UVg = UVg + s.U[k] * jnp.sum(s.V[k] * g_new)
-                vT = vT + s.V[k] * jnp.sum(s.U[k] * delta_z)
+            if use_refs:
+                # planes 0..s.nstep-1 are the ones written so far (the ring
+                # never wraps); the dynamic trip count skips the rest.
+                def contract(k, carry):
+                    UVd, UVg, vT = carry
+                    Uk = U_ref[pl.ds(k * c8, c8), :]
+                    Vk = V_ref[pl.ds(k * c8, c8), :]
+                    UVd = UVd + Uk * jnp.sum(Vk * delta_g)
+                    UVg = UVg + Uk * jnp.sum(Vk * g_new)
+                    vT = vT + Vk * jnp.sum(Uk * delta_z)
+                    return UVd, UVg, vT
+
+                UVd, UVg, vT = jax.lax.fori_loop(
+                    0, s.nstep, contract,
+                    (zero_plane, zero_plane, -delta_z))
+            else:
+                UVd = zero_plane
+                UVg = zero_plane
+                vT = -delta_z
+                for k in range(K):
+                    UVd = UVd + s.U[k] * jnp.sum(s.V[k] * delta_g)
+                    UVg = UVg + s.U[k] * jnp.sum(s.V[k] * g_new)
+                    vT = vT + s.V[k] * jnp.sum(s.U[k] * delta_z)
             matvec_dgx = -delta_g + UVd
             matvec_gx = -g_new + UVg
             denom = jnp.sum(vT * delta_g)
@@ -553,9 +699,15 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
             vT = jnp.where(jnp.isfinite(vT), vT, 0.0)
             u = jnp.where(jnp.isfinite(u), u, 0.0)
 
-            col = (nstep - 1) % threshold
-            U = tuple(jnp.where(col == k, u, s.U[k]) for k in range(K))
-            V = tuple(jnp.where(col == k, vT, s.V[k]) for k in range(K))
+            if use_refs:
+                col = s.nstep  # == nstep - 1; never wraps
+                U_ref[pl.ds(col * c8, c8), :] = u
+                V_ref[pl.ds(col * c8, c8), :] = vT
+                U, V = (), ()
+            else:
+                col = (nstep - 1) % threshold
+                U = tuple(jnp.where(col == k, u, s.U[k]) for k in range(K))
+                V = tuple(jnp.where(col == k, vT, s.V[k]) for k in range(K))
             update = -matvec_gx - u * jnp.sum(vT * g_new)
 
             return _LoopState(z=z_new, gx=g_new, update=update, U=U, V=V,
@@ -566,55 +718,78 @@ def _broyden_in_kernel(resid, z0, *, c8, HW, threshold, eps_i,
 
         return cond, body
 
-    if tail_start is None:
-        tail_start = threshold // 2  # matches KernelConfig's ladder_start auto
-    cap1 = threshold if tail is None else min(int(tail_start), threshold)
+    cap1 = stage_caps[0] if tails else threshold
     cond1, body1 = make_loop(eval0, cap1)
     s = jax.lax.while_loop(cond1, body1, s0)
-    if tail is None:
-        return s
 
-    def run_tail(s):
-        eval_t = wrap(tail())
-        g_b, aux_b = eval_t(s.best_z)
-        obj = norm(g_b)
-        # re-apply the carried inverse-Jacobian estimate to the re-evaluated
-        # residual: update = -(-g + sum_k U_k <V_k, g>)
-        UVg = zero_plane
-        for k in range(K):
-            UVg = UVg + s.U[k] * jnp.sum(s.V[k] * g_b)
-        s2 = _LoopState(
-            z=s.best_z, gx=g_b, update=g_b - UVg, U=s.U, V=s.V,
-            best_z=s.best_z, best_gx=g_b, best_aux=aux_b, best_obj=obj,
-            best_snap=obj, best_step=s.best_step, nstep=s.nstep,
-            prot=s.prot, done=s.prot | (obj < eps_i))
-        cond2, body2 = make_loop(eval_t, threshold)
-        return jax.lax.while_loop(cond2, body2, s2)
+    def make_run_tail(j):
+        tail_fn = tails[j]
+        cap = stage_caps[j + 1] if j + 1 < len(stage_caps) else threshold
 
-    need = jnp.logical_not(s.prot) & (s.best_obj >= eps_i)
-    return jax.lax.cond(need, run_tail, lambda s: s, s)
+        def run_tail(s):
+            eval_t = wrap(tail_fn())
+            g_b, aux_b = eval_t(s.best_z)
+            obj = norm(g_b)
+            # re-apply the carried inverse-Jacobian estimate to the
+            # re-evaluated residual: update = -(-g + sum_k U_k <V_k, g>)
+            if use_refs:
+                def c2(k, UVg):
+                    Uk = U_ref[pl.ds(k * c8, c8), :]
+                    Vk = V_ref[pl.ds(k * c8, c8), :]
+                    return UVg + Uk * jnp.sum(Vk * g_b)
+
+                UVg = jax.lax.fori_loop(0, s.nstep, c2, zero_plane)
+            else:
+                UVg = zero_plane
+                for k in range(K):
+                    UVg = UVg + s.U[k] * jnp.sum(s.V[k] * g_b)
+            s2 = _LoopState(
+                z=s.best_z, gx=g_b, update=g_b - UVg, U=s.U, V=s.V,
+                best_z=s.best_z, best_gx=g_b, best_aux=aux_b, best_obj=obj,
+                best_snap=obj, best_step=s.best_step, nstep=s.nstep,
+                prot=s.prot, done=s.prot | (obj < eps_i))
+            cond2, body2 = make_loop(eval_t, cap)
+            s3 = jax.lax.while_loop(cond2, body2, s2)
+            if j + 1 < len(tails):
+                # nest the next stage INSIDE this branch: needing stage j+1
+                # implies having entered stage j, so programs that converge
+                # in phase 1 see exactly ONE cond (an un-taken top-level
+                # cond still costs ~17us/program in Mosaic — measured as a
+                # +1.1 ms regression per 16x16 batch solve when the stages
+                # were chained at top level, solve_lab_multi.json).
+                need2 = jnp.logical_not(s3.prot) & (s3.best_obj >= eps_i)
+                s3 = jax.lax.cond(need2, make_run_tail(j + 1),
+                                  lambda s: s, s3)
+            return s3
+
+        return run_tail
+
+    if tails:
+        need = jnp.logical_not(s.prot) & (s.best_obj >= eps_i)
+        s = jax.lax.cond(need, make_run_tail(0), lambda s: s, s)
+    return s
 
 
 def _solve_kernel(betas_ref, x_ref,
                   m1x_ref, m2x_ref, m3x_ref, b1x_ref, b2x_ref, b3x_ref,
                   m1z_ref, m2z_ref, m3z_ref, b1z_ref, b2z_ref, b3z_ref,
                   z_out_ref, g_out_ref, diag_ref,
-                  *, H, W, reps, c8, mid, threshold, eps_i, stall_patience,
-                  stall_rtol, stall_guard, newton_init, preact_x, preact_z,
-                  warm_start, mode, tail_mode=None, tail_start=None,
-                  line_search=False):
+                  *scratch, H, W, reps, c8, mid, threshold, eps_i,
+                  stall_patience, stall_rtol, stall_guard, newton_init,
+                  preact_x, preact_z, warm_start, mode, tail_mode=None,
+                  tail_start=None, line_search=False):
     f32 = jnp.float32
+    uv_refs = (scratch[0], scratch[1]) if scratch else None
     RHW = reps * H * W
     shifted = _make_shifted(H, W, reps)
-    dot = _make_dot(mode)
 
     x = x_ref[0]
     b1x, b2x, b3x = b1x_ref[:], b2x_ref[:], b3x_ref[:]
     b1z, b2z, b3z = b1z_ref[:], b2z_ref[:], b3z_ref[:]
-    eval_x = _make_eval(shifted, dot, m1x_ref[:], m2x_ref[:], m3x_ref[:],
+    eval_x = _make_eval(shifted, mode, m1x_ref[:], m2x_ref[:], m3x_ref[:],
                         b1x, b2x, b3x, betas_ref[0], betas_ref[1],
                         betas_ref[2], preact_x, c8, RHW)
-    eval_z = _make_eval(shifted, dot, m1z_ref[:], m2z_ref[:], m3z_ref[:],
+    eval_z = _make_eval(shifted, mode, m1z_ref[:], m2z_ref[:], m3z_ref[:],
                         b1z, b2z, b3z, betas_ref[3], betas_ref[4],
                         betas_ref[5], preact_z, c8, RHW)
 
@@ -622,30 +797,38 @@ def _solve_kernel(betas_ref, x_ref,
     resid = lambda z: x_embed - eval_z(z) - z
     z0 = x if warm_start else jnp.zeros((c8, RHW), f32)
 
-    tail = None
-    if tail_mode is not None:
-        dot_t = _make_dot(tail_mode)
-        eval_x_t = _make_eval(shifted, dot_t, m1x_ref[:], m2x_ref[:],
-                              m3x_ref[:], b1x, b2x, b3x, betas_ref[0],
-                              betas_ref[1], betas_ref[2], preact_x, c8, RHW)
-        eval_z_t = _make_eval(shifted, dot_t, m1z_ref[:], m2z_ref[:],
-                              m3z_ref[:], b1z, b2z, b3z, betas_ref[3],
-                              betas_ref[4], betas_ref[5], preact_z, c8, RHW)
-
-        def tail():
-            # the embedding re-evaluated at tail precision, so the polished
-            # residual is precision-consistent end to end; this sits inside
-            # the ladder's lax.cond, so fully-converged programs skip it.
+    tail_modes, stage_caps = _norm_ladder(threshold, tail_mode, tail_start)
+    tails = []
+    for tm in tail_modes:
+        def tail(tm=tm):
+            # the stage's evals are built HERE, inside the nullary invoked
+            # under the stage's lax.cond: the weight-side precision prep
+            # (hi/lo splits + kpack concat, ~100us/program for a tf32x
+            # stage at the CIFAR shapes) is traced into the cond branch and
+            # costs nothing for programs that converge earlier. The
+            # embedding is re-evaluated at this stage's precision so the
+            # polished residual is precision-consistent end to end.
+            eval_x_t = _make_eval(shifted, tm, m1x_ref[:], m2x_ref[:],
+                                  m3x_ref[:], b1x, b2x, b3x, betas_ref[0],
+                                  betas_ref[1], betas_ref[2], preact_x,
+                                  c8, RHW)
+            eval_z_t = _make_eval(shifted, tm, m1z_ref[:], m2z_ref[:],
+                                  m3z_ref[:], b1z, b2z, b3z, betas_ref[3],
+                                  betas_ref[4], betas_ref[5], preact_z,
+                                  c8, RHW)
             xe_t = x + eval_x_t(x)
             return lambda z: xe_t - eval_z_t(z) - z
+
+        tails.append(tail)
 
     if reps == 1:
         s = _broyden_in_kernel(resid, z0,
                                c8=c8, HW=RHW, threshold=threshold,
                                eps_i=eps_i, stall_patience=stall_patience,
                                stall_rtol=stall_rtol, stall_guard=stall_guard,
-                               newton_init=newton_init, tail=tail,
-                               tail_start=tail_start, line_search=line_search)
+                               newton_init=newton_init, tails=tails,
+                               stage_caps=stage_caps, line_search=line_search,
+                               uv_refs=uv_refs)
     else:
         s = _broyden_in_kernel_packed(resid, z0,
                                       c8=c8, HW=H * W, reps=reps,
@@ -653,8 +836,8 @@ def _solve_kernel(betas_ref, x_ref,
                                       stall_patience=stall_patience,
                                       stall_rtol=stall_rtol,
                                       stall_guard=stall_guard,
-                                      newton_init=newton_init, tail=tail,
-                                      tail_start=tail_start,
+                                      newton_init=newton_init, tails=tails,
+                                      stage_caps=stage_caps,
                                       line_search=line_search)
 
     z_out_ref[0] = s.best_z
@@ -681,17 +864,19 @@ def _diag_tile(s, eps_i, reps):
         row(s.best_step), zero], axis=0)
 
 
-def _make_apply_jt(shifted, dot, m3, m2, m1, s0, s1, s2, c8, HW):
+def _make_apply_jt(shifted, mode, m3, m2, m1, s0, s1, s2, c8, HW):
     """Functional u -> J_g^T u from resident operands (the transpose-direction
     twin of ``_make_eval``; same math as ``fused_chain._make_apply_jt`` but
-    carry-friendly: no scratch refs)."""
+    carry-friendly: no scratch refs). ``mode`` is a precision-mode string
+    (weight prep hoisted, see ``_make_wdot``)."""
+    d3, d2, d1 = (_make_wdot(mode, m) for m in (m3, m2, m1))
 
     def apply_JT(u):
         u9 = jnp.concatenate(
             [shifted(u, dy, dx) for (dy, dx) in _OFFSETS], axis=0)
-        t = dot(m3, u9) * s2                        # (mid, HW) f32
-        t = dot(m2, t) * s1
-        R = dot(m1, t)                              # (9*c8, HW)
+        t = d3(u9) * s2                             # (mid, HW) f32
+        t = d2(t) * s1
+        R = d1(t)                                   # (9*c8, HW)
         v = jnp.zeros((c8, HW), jnp.float32)
         for d, (dy, dx) in enumerate(_OFFSETS):
             v += shifted(R[d * c8:(d + 1) * c8], dy, dx)
@@ -702,9 +887,9 @@ def _make_apply_jt(shifted, dot, m3, m2, m1, s0, s1, s2, c8, HW):
 
 def _backward_kernel(grad_ref, s0_ref, s1_ref, s2_ref,
                      m3_ref, m2_ref, m1_ref, u_out_ref,
-                     *, H, W, reps, c8, mid, threshold, eps_i, stall_patience,
-                     stall_rtol, stall_guard, newton_init, mode,
-                     line_search=False):
+                     *scratch, H, W, reps, c8, mid, threshold, eps_i,
+                     stall_patience, stall_rtol, stall_guard, newton_init,
+                     mode, line_search=False):
     """Solve u (I + J_gz) = grad for one example (or ``reps`` lane-packed
     examples), fully in VMEM: the linearization tensors s0/s1/s2 stay
     resident across all iterations (the XLA path re-streams them per VJP
@@ -712,19 +897,19 @@ def _backward_kernel(grad_ref, s0_ref, s1_ref, s2_ref,
     f32 = jnp.float32
     RHW = reps * H * W
     shifted = _make_shifted(H, W, reps)
-    dot = _make_dot(mode)
-    apply_JT = _make_apply_jt(shifted, dot, m3_ref[:], m2_ref[:], m1_ref[:],
+    apply_JT = _make_apply_jt(shifted, mode, m3_ref[:], m2_ref[:], m1_ref[:],
                               s0_ref[0].astype(f32), s1_ref[0].astype(f32),
                               s2_ref[0].astype(f32), c8, RHW)
     grad = grad_ref[0]
     resid = lambda u: u + apply_JT(u) - grad
+    uv_refs = (scratch[0], scratch[1]) if scratch else None
     if reps == 1:
         s = _broyden_in_kernel(resid, jnp.zeros((c8, RHW), f32),
                                c8=c8, HW=RHW, threshold=threshold,
                                eps_i=eps_i, stall_patience=stall_patience,
                                stall_rtol=stall_rtol, stall_guard=stall_guard,
                                newton_init=newton_init,
-                               line_search=line_search)
+                               line_search=line_search, uv_refs=uv_refs)
     else:
         s = _broyden_in_kernel_packed(resid, jnp.zeros((c8, RHW), f32),
                                       c8=c8, HW=H * W, reps=reps,
@@ -740,7 +925,7 @@ def _backward_kernel(grad_ref, s0_ref, s1_ref, s2_ref,
 def fused_backward_solve(grad, chain_data, *, threshold, eps,
                          stall_patience, stall_rtol, stall_guard=None,
                          newton_init=False, mode="bf16", line_search=False,
-                         interpret=False, reps=1):
+                         secant_refs=False, interpret=False, reps=1):
     """Fused implicit-gradient solve ``u (I + J_gz) = grad``
     (``imBlock.Backward.backward``, reference implicit_block.py:196-206).
 
@@ -797,6 +982,9 @@ def fused_backward_solve(grad, chain_data, *, threshold, eps,
                       const2(mid, 9 * c8), const2(mid, mid), const2(9 * c8, mid)],
             out_specs=pl.BlockSpec((1, c8, RHW), ex),
             out_shape=jax.ShapeDtypeStruct((Bl, c8, RHW), jnp.float32),
+            scratch_shapes=(
+                [pltpu.VMEM((int(threshold) * c8, RHW), jnp.float32)] * 2
+                if (secant_refs and reps == 1) else []),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
@@ -1516,9 +1704,9 @@ def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
                       m3tx_ref, m2tx_ref, m1tx_ref,
                       m3tz_ref, m2tz_ref, m1tz_ref,
                       z_out_ref, g_out_ref, diag_ref, accx_ref, accz_ref,
-                      *, H, W, c8, mid, threshold, eps_i, stall_patience,
-                      stall_rtol, stall_guard, newton_init, preact_x,
-                      preact_z, warm_start, mode, tail_mode=None,
+                      *scratch, H, W, c8, mid, threshold, eps_i,
+                      stall_patience, stall_rtol, stall_guard, newton_init,
+                      preact_x, preact_z, warm_start, mode, tail_mode=None,
                       tail_start=None, line_search=False):
     """One example's ENTIRE implicit-block forward compute: the Broyden solve
     (both nets' conv evals in-kernel) followed by BOTH nets' Neumann-chain
@@ -1535,19 +1723,18 @@ def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
     f32 = jnp.float32
     HW = H * W
     shifted = _make_shifted(H, W)
-    dot = _make_dot(mode)
     # chain precision: bf16 in production (matches IMNF_BF16_EST default);
     # full f32 when the solve runs exact (exactness tests)
     cdtype = f32 if mode == "f32" else jnp.bfloat16
-    dot_bf = _make_dot("f32" if mode == "f32" else "bf16")
+    chain_mode = "f32" if mode == "f32" else "bf16"
 
     x = x_ref[0]
     bx = (betas_ref[0], betas_ref[1], betas_ref[2])
     bz = (betas_ref[3], betas_ref[4], betas_ref[5])
-    eval_x = _make_eval(shifted, dot, m1x_ref[:], m2x_ref[:], m3x_ref[:],
+    eval_x = _make_eval(shifted, mode, m1x_ref[:], m2x_ref[:], m3x_ref[:],
                         b1x_ref[:], b2x_ref[:], b3x_ref[:], *bx,
                         preact_x, c8, HW, want_aux=True)
-    eval_z = _make_eval(shifted, dot, m1z_ref[:], m2z_ref[:], m3z_ref[:],
+    eval_z = _make_eval(shifted, mode, m1z_ref[:], m2z_ref[:], m3z_ref[:],
                         b1z_ref[:], b2z_ref[:], b3z_ref[:], *bz,
                         preact_z, c8, HW, want_aux=True)
 
@@ -1558,26 +1745,30 @@ def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
         gz, _ = eval_z(z)
         return x_embed - gz - z
 
-    tail = None
-    if tail_mode is not None:
-        dot_t = _make_dot(tail_mode)
-        eval_x_t = _make_eval(shifted, dot_t, m1x_ref[:], m2x_ref[:],
-                              m3x_ref[:], b1x_ref[:], b2x_ref[:], b3x_ref[:],
-                              *bx, preact_x, c8, HW)
-        eval_z_t = _make_eval(shifted, dot_t, m1z_ref[:], m2z_ref[:],
-                              m3z_ref[:], b1z_ref[:], b2z_ref[:], b3z_ref[:],
-                              *bz, preact_z, c8, HW)
-
-        def tail():
+    tail_modes, stage_caps = _norm_ladder(threshold, tail_mode, tail_start)
+    tails = []
+    for tm in tail_modes:
+        def tail(tm=tm):
+            # built inside the stage's lax.cond — see _solve_kernel
+            eval_x_t = _make_eval(shifted, tm, m1x_ref[:], m2x_ref[:],
+                                  m3x_ref[:], b1x_ref[:], b2x_ref[:],
+                                  b3x_ref[:], *bx, preact_x, c8, HW)
+            eval_z_t = _make_eval(shifted, tm, m1z_ref[:], m2z_ref[:],
+                                  m3z_ref[:], b1z_ref[:], b2z_ref[:],
+                                  b3z_ref[:], *bz, preact_z, c8, HW)
             xe_t = x + eval_x_t(x)
             return lambda z: xe_t - eval_z_t(z) - z
+
+        tails.append(tail)
 
     s = _broyden_in_kernel(resid, x if warm_start else jnp.zeros((c8, HW), f32),
                            c8=c8, HW=HW, threshold=threshold, eps_i=eps_i,
                            stall_patience=stall_patience,
                            stall_rtol=stall_rtol, stall_guard=stall_guard,
-                           newton_init=newton_init, tail=tail,
-                           tail_start=tail_start, line_search=line_search)
+                           newton_init=newton_init, tails=tails,
+                           stage_caps=stage_caps, line_search=line_search,
+                           uv_refs=(scratch[0], scratch[1]) if scratch
+                           else None)
     # One extra eval at the best iterate for the chain linearization —
     # cheaper than carrying (h1, h2) through the while loop (measured: the
     # bigger carry costs ~2.5 ms/block at 32x32; the eval ~0.7 ms).
@@ -1595,9 +1786,9 @@ def _block_fwd_kernel(betas_ref, sc_ref, n_ref, x_ref, epsx_ref, epsz_ref,
     s0z = _dswish(s.best_z, bz[0]) if preact_z else jnp.ones((c8, HW), f32)
     s1x, s2x = _dswish(h1x, bx[1]), _dswish(h2x, bx[2])
     s1z, s2z = _dswish(h1z, bz[1]), _dswish(h2z, bz[2])
-    jt_x = _make_apply_jt(shifted, dot_bf, m3tx_ref[:], m2tx_ref[:],
+    jt_x = _make_apply_jt(shifted, chain_mode, m3tx_ref[:], m2tx_ref[:],
                           m1tx_ref[:], s0x, s1x, s2x, c8, HW)
-    jt_z = _make_apply_jt(shifted, dot_bf, m3tz_ref[:], m2tz_ref[:],
+    jt_z = _make_apply_jt(shifted, chain_mode, m3tz_ref[:], m2tz_ref[:],
                           m1tz_ref[:], s0z, s1z, s2z, c8, HW)
 
     def body(k, carry):
@@ -1619,7 +1810,8 @@ def fused_block_forward(x, data_x, data_z, eps_x, eps_z, signed_coeffs,
                         n_power, *, threshold, eps, stall_patience,
                         stall_rtol, stall_guard=None, newton_init=False,
                         warm_start=False, mode="tf32", tail_mode=None,
-                        tail_start=None, line_search=False, interpret=False):
+                        tail_start=None, line_search=False, secant_refs=False,
+                        interpret=False):
     """Fused solve + both Neumann-chain accumulations for one implicit block.
 
     ``eps_x``/``eps_z``: (B, c, H, W) Rademacher probes. ``signed_coeffs``:
@@ -1671,6 +1863,9 @@ def fused_block_forward(x, data_x, data_z, eps_x, eps_z, signed_coeffs,
                        pl.BlockSpec((1, 8, 128), ex),
                        pl.BlockSpec((1, c8, HW), ex),
                        pl.BlockSpec((1, c8, HW), ex)],
+            scratch_shapes=(
+                [pltpu.VMEM((int(threshold) * c8, HW), jnp.float32)] * 2
+                if secant_refs else []),
         )
         kernel = functools.partial(
             _block_fwd_kernel, H=H, W=W, c8=c8, mid=mid,
@@ -1678,8 +1873,14 @@ def fused_block_forward(x, data_x, data_z, eps_x, eps_z, signed_coeffs,
             stall_patience=stall_patience, stall_rtol=stall_rtol,
             stall_guard=stall_guard, newton_init=newton_init,
             preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
-            warm_start=bool(warm_start), mode=mode, tail_mode=tail_mode,
-            tail_start=None if tail_start is None else int(tail_start),
+            warm_start=bool(warm_start), mode=mode,
+            tail_start=(tuple(tail_start)
+                        if isinstance(tail_start, (tuple, list))
+                        else None if tail_start is None
+                        else int(tail_start)),
+            tail_mode=(tuple(tail_mode)
+                       if isinstance(tail_mode, (tuple, list))
+                       else tail_mode),
             line_search=bool(line_search))
         return pl.pallas_call(
             kernel,
@@ -1716,7 +1917,7 @@ def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
                         stall_patience, stall_rtol, stall_guard=None,
                         newton_init=False, warm_start=False,
                         mode="tf32", tail_mode=None, tail_start=None,
-                        line_search=False,
+                        line_search=False, secant_refs=False,
                         interpret=False, reps=1) -> FusedSolveResult:
     """Solve ``z : x + g_x(x) = z + g_z(z)`` for a batch, fully in-kernel.
 
@@ -1770,6 +1971,9 @@ def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
             out_specs=[pl.BlockSpec((1, c8, RHW), ex),
                        pl.BlockSpec((1, c8, RHW), ex),
                        pl.BlockSpec((1, 8, 128), ex)],
+            scratch_shapes=(
+                [pltpu.VMEM((threshold * c8, RHW), jnp.float32)] * 2
+                if (secant_refs and reps == 1) else []),
         )
         kernel = functools.partial(
             _solve_kernel, H=H, W=W, reps=reps, c8=c8, mid=mid,
@@ -1777,8 +1981,14 @@ def fused_broyden_solve(x, data_x, data_z, *, threshold, eps,
             eps_i=eps_i, stall_patience=stall_patience, stall_rtol=stall_rtol,
             stall_guard=stall_guard, newton_init=newton_init,
             preact_x=bool(data_x["preact"]), preact_z=bool(data_z["preact"]),
-            warm_start=bool(warm_start), mode=mode, tail_mode=tail_mode,
-            tail_start=None if tail_start is None else int(tail_start),
+            warm_start=bool(warm_start), mode=mode,
+            tail_start=(tuple(tail_start)
+                        if isinstance(tail_start, (tuple, list))
+                        else None if tail_start is None
+                        else int(tail_start)),
+            tail_mode=(tuple(tail_mode)
+                       if isinstance(tail_mode, (tuple, list))
+                       else tail_mode),
             line_search=bool(line_search))
         return pl.pallas_call(
             kernel,

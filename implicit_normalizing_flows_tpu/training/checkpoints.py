@@ -47,5 +47,59 @@ def save_most_recent(state: dict, save_dir: str):
 
 
 def load_checkpoint(path: str):
+    if path.endswith(".npz"):
+        return load_npz_tree(path)
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+# ---------------------------------------------------------------------------
+# npz tree storage: a non-executable format for REPO-COMMITTED checkpoints
+# (the fixed sustained-bench measurement point). Unlike pickle, np.load with
+# allow_pickle=False cannot execute code on load. Structure: a `__spec__`
+# JSON encodes the nesting with leaves either inline JSON scalars or "@arr_N"
+# references into the archive's arrays.
+
+def save_npz_tree(tree, path: str):
+    import json
+
+    arrays = {}
+
+    def enc(node):
+        if isinstance(node, dict):
+            return {"t": "d", "v": {k: enc(v) for k, v in node.items()}}
+        if isinstance(node, (list, tuple)):
+            return {"t": "l" if isinstance(node, list) else "t",
+                    "v": [enc(v) for v in node]}
+        if node is None or isinstance(node, (bool, int, float, str)):
+            return {"t": "s", "v": node}
+        a = np.asarray(node)
+        name = f"arr_{len(arrays)}"
+        arrays[name] = a
+        return {"t": "a", "v": name}
+
+    spec = enc(_to_numpy(tree))
+    np.savez_compressed(path, __spec__=np.frombuffer(
+        json.dumps(spec).encode(), dtype=np.uint8), **arrays)
+    return path
+
+
+def load_npz_tree(path: str):
+    import json
+
+    with np.load(path, allow_pickle=False) as z:
+        spec = json.loads(bytes(z["__spec__"]).decode())
+
+        def dec(node):
+            t, v = node["t"], node["v"]
+            if t == "d":
+                return {k: dec(x) for k, x in v.items()}
+            if t == "l":
+                return [dec(x) for x in v]
+            if t == "t":
+                return tuple(dec(x) for x in v)
+            if t == "s":
+                return v
+            return z[v]
+
+        return dec(spec)

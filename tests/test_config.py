@@ -44,7 +44,11 @@ def test_ladder_args_resolution(monkeypatch):
     from implicit_normalizing_flows_tpu.layers.implicit_block import _ladder_args
 
     try:
-        C.set_kernel_config(C.KernelConfig())  # defaults: tf32 + tail f32
+        # defaults (r5): tf32 base + two-stage tf32x,f32 ladder
+        C.set_kernel_config(C.KernelConfig())
+        assert _ladder_args(30) == {"tail_mode": ("tf32x", "f32"),
+                                    "tail_start": 15}
+        C.set_kernel_config(C.KernelConfig(solver_tail="f32"))
         assert _ladder_args(30) == {"tail_mode": "f32", "tail_start": 15}
         C.set_kernel_config(C.KernelConfig(ladder_start=40))
         assert _ladder_args(30)["tail_start"] == 30  # capped at budget
@@ -52,6 +56,9 @@ def test_ladder_args_resolution(monkeypatch):
         assert _ladder_args(30) == {}  # base already f32
         C.set_kernel_config(C.KernelConfig(solver_tail=""))
         assert _ladder_args(30) == {}  # disabled
+        # stages not stronger than the base mode are dropped
+        C.set_kernel_config(C.KernelConfig(solver_precision="tf32x"))
+        assert _ladder_args(30)["tail_mode"] == "f32"
     finally:
         C.set_kernel_config(None)
 

@@ -343,6 +343,81 @@ def test_precision_ladder_rescues_low_precision_phase1(monkeypatch, reps):
                                rtol=1e-3, atol=2e-5)
 
 
+@pytest.mark.parametrize("reps", [1, 2])
+def test_multistage_ladder_converges(monkeypatch, reps):
+    """Multi-stage ladder (r5): phase-1 bf16, then ('tf32x','f32') stages.
+    Still-unconverged examples climb the stages under the shared budget and
+    must reach strict convergence at the f32 root; a single-stage f32 tail
+    is the semantics being preserved."""
+    from implicit_normalizing_flows_tpu.ops.fused_solve import (
+        fused_broyden_solve,
+    )
+
+    block = _make_block()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+    vx = {"params": variables["params"]["nnet_x"],
+          "state": variables["state"]["nnet_x"]}
+    vz = {"params": variables["params"]["nnet_z"],
+          "state": variables["state"]["nnet_z"]}
+    data_x = block.nnet_x.conv_forward_data(vx)
+    data_z = block.nnet_z.conv_forward_data(vz)
+
+    kw = dict(threshold=30, eps=1e-6, stall_patience=5, stall_rtol=0.05,
+              stall_guard=3.0, newton_init=True, interpret=True, reps=reps)
+    ref = fused_broyden_solve(x, data_x, data_z, mode="f32", **kw)
+    assert bool(jnp.all(ref.converged))
+
+    multi = fused_broyden_solve(x, data_x, data_z, mode="bf16",
+                                tail_mode=("tf32x", "f32"),
+                                tail_start=(10, 20), **kw)
+    assert bool(jnp.all(multi.converged))
+    assert bool(jnp.all(multi.nstep <= 30))
+    np.testing.assert_allclose(np.asarray(multi.result),
+                               np.asarray(ref.result), rtol=1e-3, atol=2e-5)
+
+    # comma-string spec resolves identically through the config layer
+    from implicit_normalizing_flows_tpu.ops.fused_solve import _norm_ladder
+    assert _norm_ladder(30, "tf32x,f32", None) == (("tf32x", "f32"), (15, 22))
+    assert _norm_ladder(30, "f32", None) == (("f32",), (15,))
+    assert _norm_ladder(30, None, None) == ((), ())
+
+
+@pytest.mark.parametrize("ladder", [False, True])
+def test_secant_refs_identical_to_carried(monkeypatch, ladder):
+    """IMNF_SECANT_REFS (U/V factors in VMEM scratch refs, dynamic-trip
+    contraction) is the same arithmetic as the carried-tuple form — the
+    iterates must match exactly: same root, same nstep, same diff; with and
+    without the precision ladder (the tail re-reads the refs under the
+    lax.cond)."""
+    from implicit_normalizing_flows_tpu.ops.fused_solve import (
+        fused_broyden_solve,
+    )
+
+    block = _make_block()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+    vx = {"params": variables["params"]["nnet_x"],
+          "state": variables["state"]["nnet_x"]}
+    vz = {"params": variables["params"]["nnet_z"],
+          "state": variables["state"]["nnet_z"]}
+    data_x = block.nnet_x.conv_forward_data(vx)
+    data_z = block.nnet_z.conv_forward_data(vz)
+
+    kw = dict(threshold=30, eps=1e-6, stall_patience=5, stall_rtol=0.05,
+              stall_guard=3.0, newton_init=True, interpret=True, reps=1,
+              mode="bf16")
+    if ladder:
+        kw.update(tail_mode="f32", tail_start=10)
+    a = fused_broyden_solve(x, data_x, data_z, secant_refs=False, **kw)
+    b = fused_broyden_solve(x, data_x, data_z, secant_refs=True, **kw)
+    np.testing.assert_array_equal(np.asarray(b.result), np.asarray(a.result))
+    np.testing.assert_array_equal(np.asarray(b.nstep), np.asarray(a.nstep))
+    np.testing.assert_array_equal(np.asarray(b.diff), np.asarray(a.diff))
+    np.testing.assert_array_equal(np.asarray(b.converged),
+                                  np.asarray(a.converged))
+
+
 def test_precision_ladder_noop_when_phase1_converges(monkeypatch):
     """When every example converges in phase 1, the ladder must not change
     the result (the tail sits under a lax.cond and never runs)."""
