@@ -38,13 +38,23 @@ def estimate_step_flops(batch, nstep, n_terms=12.0, bwd_iters=4, idim=512,
     (VJP ~ 2 evals):
       forward solve   1 (x-embed) + nstep+1 (z evals)
       re-attachment   2 fwd + ~4 VJP (data+weight grads, both nets)
-      estimator       ~4*n_terms  (one VJP per term per net)
+      estimator       2*n_terms  (ONE J^T apply per term per net — this
+                      framework applies the chain transposes per term and
+                      takes the weight-side VJP once at the end; the r4
+                      model's 4*n_terms was the reference's per-term-
+                      backprop count and over-counted: it implied the
+                      measured 18.1 ms chain kernels ran at 1.5x the bf16
+                      peak, experiments/mfu_crosscheck_r5.json)
+      est-final       ~4 VJP-evals (the once-at-the-end weight VJPs)
       backward solve  2*bwd_iters (VJPs through nnet_z)
-    n_terms defaults to n_exact_terms(10) + mean Poisson tail (~2). This is
-    a first-order model (ignores power iteration, actnorm, optimizer —
-    sub-1% each); treat mfu_est as an estimate, not a measurement.
+    n_terms defaults to n_exact_terms(10) + mean Poisson tail (~2).
+    Cross-checked against the measured sustained device trace (r4 verdict
+    #6): per-class implied throughputs land at each class's attainable
+    rate — chains 0.75 of bf16 peak, tf32 solver evals 0.19, bwd/VJP 0.32.
+    This remains a first-order model (ignores power iteration, actnorm,
+    optimizer — sub-1% each).
     """
-    evals = (1 + (nstep + 1)) + 6 + 4 * n_terms + 2 * bwd_iters
+    evals = (1 + (nstep + 1)) + 6 + (2 * n_terms + 4) + 2 * bwd_iters
     k0, k1, k2 = kernels
     per_eval = 0.0
     for c, hw in scales:

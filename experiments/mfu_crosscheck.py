@@ -21,7 +21,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def per_class_ms(trace_dir):
+def per_class_ms(trace_dir, n_steps=None):
     paths = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True))
     assert paths, f"no trace under {trace_dir}"
     d = json.load(gzip.open(paths[-1]))
@@ -29,7 +29,7 @@ def per_class_ms(trace_dir):
     pids = {e["pid"]: e["args"].get("name", "") for e in events
             if e.get("ph") == "M" and e.get("name") == "process_name"}
     dur = collections.Counter()
-    n_steps = 0
+    mod_events = collections.Counter()
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
@@ -37,10 +37,12 @@ def per_class_ms(trace_dir):
             continue
         name = e["name"]
         if name.startswith("jit_") or len(name) <= 3:
-            if len(name) <= 3:
-                n_steps += 1      # top-level module exec events
+            if len(name) <= 3 and e["dur"] > 20e3:  # >20ms: step modules
+                mod_events[name] += 1
             continue
         dur[name] += e["dur"]
+    if n_steps is None:
+        n_steps = sum(mod_events.values())
     assert n_steps > 0
     cls = collections.Counter()
     for name, us in dur.items():
@@ -91,10 +93,12 @@ def main():
     ap.add_argument("trace_dir")
     ap.add_argument("--nstep", type=float, required=True)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="steps traced (default: infer from >20ms module events)")
     ap.add_argument("--out", default="experiments/mfu_crosscheck_r5.json")
     args = ap.parse_args()
 
-    meas, n_steps = per_class_ms(args.trace_dir)
+    meas, n_steps = per_class_ms(args.trace_dir, args.steps)
     flops = model_class_flops(args.batch, args.nstep)
     peak = 197e12
     rows = {}
