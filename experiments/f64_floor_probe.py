@@ -46,7 +46,7 @@ def capture_first_block(dtype):
     from implicit_normalizing_flows_tpu.layers import LogitTransform
     from implicit_normalizing_flows_tpu.models import ImplicitFlow
     from implicit_normalizing_flows_tpu.data.images import _synthetic_structured
-    from implicit_normalizing_flows_tpu.layers import implicit_block as ib
+    import implicit_normalizing_flows_tpu.ops.broyden as ob_mod
 
     size = 32
     model = ImplicitFlow(
@@ -71,22 +71,21 @@ def capture_first_block(dtype):
     x = (x_u8.astype(jnp.float32) + 0.5) / 256.0
 
     captured = {}
-    # the XLA solve path binds the solver at import time
-    # (implicit_block.py: `from ..ops.broyden import broyden as
-    # broyden_solve`), so patch THAT name
-    orig = ib.broyden_solve
+    # the XLA forward path goes through ops.broyden.root_solve, which looks
+    # up `broyden` as a module global — patch it at the module level
+    orig = ob_mod.broyden
 
     def spy(g, x0, threshold, eps, **kw):
         if "first" not in captured:
             captured["first"] = (np.asarray(x0), g, float(eps), kw)
         return orig(g, x0, threshold, eps, **kw)
 
-    ib.broyden_solve = spy
+    ob_mod.broyden = spy
     try:
         model.forward({"params": params, "state": state}, x,
                       rng=jax.random.PRNGKey(1), train=True)
     finally:
-        ib.broyden_solve = orig
+        ob_mod.broyden = orig
     return captured["first"]
 
 
