@@ -46,7 +46,12 @@ def capture_first_block(dtype):
     from implicit_normalizing_flows_tpu.layers import LogitTransform
     from implicit_normalizing_flows_tpu.models import ImplicitFlow
     from implicit_normalizing_flows_tpu.data.images import _synthetic_structured
-    import implicit_normalizing_flows_tpu.ops.broyden as ob_mod
+    import importlib
+    import sys as _sys
+    importlib.import_module("implicit_normalizing_flows_tpu.ops.broyden")
+    # ops/__init__ re-exports the FUNCTION under the submodule's name, so
+    # `import ...ops.broyden as m` binds the function; take the module
+    ob_mod = _sys.modules["implicit_normalizing_flows_tpu.ops.broyden"]
 
     size = 32
     model = ImplicitFlow(
@@ -62,22 +67,22 @@ def capture_first_block(dtype):
     ck = load_checkpoint(CKPT)
     params, state = ck["model"]["params"] if "model" in ck else ck["params"], \
         ck["model"]["state"] if "model" in ck else ck["state"]
-    f32 = lambda t: jax.tree.map(
-        lambda a: np.asarray(a, np.float32)
-        if getattr(a, "dtype", None) in (np.float16, np.float64) else a, t)
-    params, state = f32(params), f32(state)
+    cast = lambda t: jax.tree.map(
+        lambda a: np.asarray(a, dtype)
+        if getattr(a, "dtype", None) in (np.float16, np.float32, np.float64)
+        else a, t)
+    params, state = cast(params), cast(state)
     x_u8 = jnp.asarray(
         _synthetic_structured("bench", BATCH, 3, size, size, seed=7).x)
-    x = (x_u8.astype(jnp.float32) + 0.5) / 256.0
+    x = (x_u8.astype(dtype) + 0.5) / 256.0
 
-    captured = {}
+    captured = []
     # the XLA forward path goes through ops.broyden.root_solve, which looks
     # up `broyden` as a module global — patch it at the module level
     orig = ob_mod.broyden
 
     def spy(g, x0, threshold, eps, **kw):
-        if "first" not in captured:
-            captured["first"] = (np.asarray(x0), g, float(eps), kw)
+        captured.append((np.asarray(x0), g, float(eps), kw))
         return orig(g, x0, threshold, eps, **kw)
 
     ob_mod.broyden = spy
@@ -86,40 +91,47 @@ def capture_first_block(dtype):
                       rng=jax.random.PRNGKey(1), train=True)
     finally:
         ob_mod.broyden = orig
-    return captured["first"]
+    return captured
 
 
 def main():
     from implicit_normalizing_flows_tpu.ops.broyden import broyden
 
-    x0, g_fn, eps, kw = capture_first_block(np.float32)
-    D = x0.shape[1]
-    eps_i = eps * np.sqrt(D)
-    print(f"captured first block solve: x0 {x0.shape}, eps_i {eps_i:.3e}")
-
     out = {"ckpt": os.path.relpath(CKPT, HERE), "batch": BATCH,
-           "eps_i": eps_i, "budget": 120}
-    for tag, dt in (("f32", jnp.float32), ("f64", jnp.float64)):
-        x0d = jnp.asarray(x0, dt)
-        # the residual closure g_fn holds f32 weights; with x64 enabled,
-        # feeding f64 iterates promotes every internal op to f64 — the same
-        # residual map evaluated at f64, which is the point
-        res = broyden(lambda z: g_fn(z.astype(dt)).astype(dt), x0d,
-                      threshold=120, eps=eps, stall_patience=None,
-                      newton_init=kw.get("newton_init", True))
-        diff = np.asarray(res.diff, np.float64)
-        conv = float(np.mean(diff < eps_i))
-        out[tag] = {
-            "strict_converged": conv,
-            "median_best_obj_over_eps_i": float(np.median(diff) / eps_i),
-            "max_best_obj_over_eps_i": float(np.max(diff) / eps_i),
-            "nstep": int(res.nstep),
-        }
-        print(f"{tag}: strict {conv:.3f}, median obj/eps {out[tag]['median_best_obj_over_eps_i']:.2f}, "
-              f"max {out[tag]['max_best_obj_over_eps_i']:.2f}, nstep {out[tag]['nstep']}")
+           "budget": 120, "blocks": []}
+    for tag, dt in (("f32", np.float32), ("f64", np.float64)):
+        # capture per dtype: lax convs demand matching operand dtypes, so
+        # the whole model (weights AND iterates) runs at dt — the SAME
+        # residual maps, evaluated at two precisions
+        solves = capture_first_block(dt)
+        print(f"[{tag}] captured {len(solves)} block solves", flush=True)
+        for bi, (x0, g_fn, eps, kw) in enumerate(solves):
+            D = x0.shape[1]
+            eps_i = eps * np.sqrt(D)
+            res = broyden(g_fn, jnp.asarray(x0, dt),
+                          threshold=120, eps=eps, stall_patience=None,
+                          newton_init=kw.get("newton_init", True))
+            diff = np.asarray(res.diff, np.float64)
+            row = {
+                "block": bi, "dtype": tag, "eps_i": eps_i,
+                "strict_converged": float(np.mean(diff < eps_i)),
+                "median_best_obj_over_eps_i": float(np.median(diff) / eps_i),
+                "max_best_obj_over_eps_i": float(np.max(diff) / eps_i),
+                "nstep": int(res.nstep),
+            }
+            out["blocks"].append(row)
+            print(f"  block {bi} [{tag}]: strict {row['strict_converged']:.3f}"
+                  f", median obj/eps {row['median_best_obj_over_eps_i']:.2f},"
+                  f" max {row['max_best_obj_over_eps_i']:.2f},"
+                  f" nstep {row['nstep']}", flush=True)
 
-    out["floor_proven"] = (out["f64"]["strict_converged"] >= 0.99
-                          and out["f32"]["strict_converged"] < 0.9)
+    worst32 = min(r["strict_converged"] for r in out["blocks"]
+                  if r["dtype"] == "f32")
+    worst64 = min(r["strict_converged"] for r in out["blocks"]
+                  if r["dtype"] == "f64")
+    out["worst_block_strict_f32"] = worst32
+    out["worst_block_strict_f64"] = worst64
+    out["floor_proven"] = worst64 >= 0.99 and worst32 < 0.9
     with open(os.path.join(HERE, "experiments/f64_floor_probe_r5.json"), "w") as f:
         json.dump(out, f, indent=2)
     print("floor_proven:", out["floor_proven"])
