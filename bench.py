@@ -168,6 +168,7 @@ SUSTAINED_CKPT_FIXED = "experiments/cifar10_long_r4/bench_ckpt.npz"
 # End-of-run checkpoints (hardest regime reached), reported as
 # sustained_final_* when present in the tree.
 SUSTAINED_CKPTS_FINAL = [
+    "experiments/cifar10_long_r5/most_recent.pkl",
     "experiments/cifar10_long_r4/most_recent.pkl",
     "experiments/cifar10_long_r3/most_recent.pkl",
 ]
