@@ -1,14 +1,16 @@
 """Export a compact, committable bench checkpoint from a full training
-checkpoint: params + state only (no optimizer/EMA), float16 storage.
+checkpoint: params + state only (no optimizer/EMA), float16 storage, npz
+format (non-executable; ``load_npz_tree`` reads with allow_pickle=False —
+the r4 advisor's objection to shipping pickles in-repo).
 
 The round-3 full checkpoints were gitignored and lost between rounds, which
-silently dropped bench.py's sustained (mid-training) section. A ~10 MB
-f16 export of the saturated weights IS committable; bench.py casts the
+silently dropped bench.py's sustained (mid-training) section. A ~20 MB
+f16 npz export of the saturated weights IS committable; bench.py casts the
 leaves back to f32 on load (the sustained section re-inits optimizer/EMA
 anyway, and the bench needs a representative saturated-Lipschitz state,
 not bit-exactness).
 
-Usage: python experiments/export_bench_ckpt.py IN.pkl OUT.pkl
+Usage: python experiments/export_bench_ckpt.py IN.pkl OUT.npz
 """
 import os
 import pickle
@@ -17,6 +19,8 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from implicit_normalizing_flows_tpu.training.checkpoints import save_npz_tree
 
 
 def compact(tree):
@@ -34,13 +38,15 @@ def compact(tree):
 
 def main():
     src, dst = sys.argv[1], sys.argv[2]
+    if not dst.endswith(".npz"):
+        raise SystemExit(f"OUT must be .npz (got {dst}): bench.py and "
+                         "tests/test_bench_assets.py require the "
+                         "non-executable npz format")
     with open(src, "rb") as f:
         ck = pickle.load(f)
     out = {"params": compact(ck["params"]), "state": compact(ck["state"]),
            "epoch": ck.get("epoch"), "compact_f16": True}
-    with open(dst, "wb") as f:
-        pickle.dump(out, f)
-    import os
+    save_npz_tree(out, dst)
     print(f"{dst}: {os.path.getsize(dst) / 1e6:.1f} MB (epoch {out['epoch']})")
 
 

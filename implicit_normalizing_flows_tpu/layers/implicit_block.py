@@ -99,8 +99,9 @@ class SolverConfig:
     # First Broyden direction +g (Newton under the solver's own J^-1 ~= -I
     # init) instead of the reference's -g; see ops.broyden.broyden.
     newton_init: bool = True
-    # Opt-in Armijo line search (reference ls flag); forces the XLA solver
-    # path — the fused kernels don't implement it.
+    # Opt-in Armijo line search (reference ls flag). Honored by BOTH solver
+    # paths since r5: the fused kernels run the bounded 2-trial schedule
+    # (ops/broyden.py:144-154 documents the cubic-tail deviation).
     line_search: bool = False
 
 
@@ -168,8 +169,16 @@ def _ladder_args(threshold):
         return {}
     mode = _fused_solve_mode()
     stages = tuple(m.strip() for m in t.split(",") if m.strip())
+    bad = [m for m in stages if m not in _PREC_RANK]
+    if bad:
+        # An unknown name would fall through _make_wdot's mode dispatch and
+        # silently execute as the 3-pass tf32 emulation — i.e. a typo'd
+        # "f32 backstop" would run at the tf32 noise floor with no error.
+        raise ValueError(
+            f"IMNF_SOLVER_TAIL: unknown precision stage(s) {bad}; "
+            f"valid: {sorted(_PREC_RANK)}")
     stages = tuple(m for m in stages
-                   if _PREC_RANK.get(m, 99) > _PREC_RANK.get(mode, 0))
+                   if _PREC_RANK[m] > _PREC_RANK.get(mode, 0))
     if not stages:
         return {}
     start = kc.ladder_start if kc.ladder_start > 0 else max(1, threshold // 2)
@@ -376,6 +385,7 @@ def _make_bwd_core(nnet_x, nnet_z, cfg: SolverConfig):
                         stall_rtol=cfg.stall_rtol, stall_guard=cfg.stall_guard,
                         newton_init=cfg.newton_init,
                         line_search=cfg.line_search,
+                        secant_refs=kernel_config().secant_refs,
                         mode=bwd_mode, interpret=interp, reps=reps)
 
         if u is None:

@@ -67,6 +67,12 @@ def save_npz_tree(tree, path: str):
 
     def enc(node):
         if isinstance(node, dict):
+            bad_keys = [k for k in node if not isinstance(k, str)]
+            if bad_keys:
+                # json.dumps would silently stringify these, corrupting the
+                # round-trip (load would return str keys).
+                raise TypeError(
+                    f"save_npz_tree: non-string dict keys {bad_keys!r}")
             return {"t": "d", "v": {k: enc(v) for k, v in node.items()}}
         if isinstance(node, (list, tuple)):
             return {"t": "l" if isinstance(node, list) else "t",
@@ -74,6 +80,15 @@ def save_npz_tree(tree, path: str):
         if node is None or isinstance(node, (bool, int, float, str)):
             return {"t": "s", "v": node}
         a = np.asarray(node)
+        if a.dtype == object:
+            # np.savez would PICKLE an object array silently (allow_pickle
+            # defaults True on save) — the archive would then both defeat
+            # the non-executable-format contract and be unreadable by
+            # load_npz_tree's allow_pickle=False load. Fail at save time.
+            raise TypeError(
+                f"save_npz_tree: leaf of type {type(node).__name__} is not "
+                "a numeric array/scalar; npz trees hold arrays and "
+                "JSON-encodable scalars only")
         name = f"arr_{len(arrays)}"
         arrays[name] = a
         return {"t": "a", "v": name}

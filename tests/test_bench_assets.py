@@ -69,3 +69,21 @@ def test_npz_tree_roundtrip(tmp_path):
     assert rt["params"]["lst"][1] == "name" and rt["params"]["lst"][2] is None
     np.testing.assert_array_equal(rt["params"]["w"], tree["params"]["w"])
     assert rt["params"]["lst"][0].dtype == np.float16
+
+
+def test_npz_tree_rejects_object_leaves_and_bad_keys(tmp_path):
+    """save_npz_tree must FAIL at save time on leaves np.savez would
+    silently pickle (object arrays — unreadable by the allow_pickle=False
+    load, and executable content in a 'non-executable' format) and on
+    non-string dict keys (json would silently stringify them)."""
+    import argparse
+
+    import pytest
+
+    from implicit_normalizing_flows_tpu.training.checkpoints import save_npz_tree
+
+    p = str(tmp_path / "bad.npz")
+    with pytest.raises(TypeError, match="not a numeric array"):
+        save_npz_tree({"args": argparse.Namespace(lr=1e-3)}, p)
+    with pytest.raises(TypeError, match="non-string dict keys"):
+        save_npz_tree({3: np.zeros(2)}, p)

@@ -59,6 +59,12 @@ def test_ladder_args_resolution(monkeypatch):
         # stages not stronger than the base mode are dropped
         C.set_kernel_config(C.KernelConfig(solver_precision="tf32x"))
         assert _ladder_args(30)["tail_mode"] == "f32"
+        # typo'd stage names raise instead of silently running as tf32
+        # (review r5: "fp32" would fall through _make_wdot's dispatch to
+        # the 3-pass emulation — a noise-floor backstop with no error)
+        C.set_kernel_config(C.KernelConfig(solver_tail="fp32"))
+        with pytest.raises(ValueError, match="fp32"):
+            _ladder_args(30)
     finally:
         C.set_kernel_config(None)
 

@@ -383,7 +383,7 @@ def test_multistage_ladder_converges(monkeypatch, reps):
     assert _norm_ladder(30, None, None) == ((), ())
 
 
-@pytest.mark.parametrize("ladder", [False, True])
+@pytest.mark.parametrize("ladder", [False, True, "default"])
 def test_secant_refs_identical_to_carried(monkeypatch, ladder):
     """IMNF_SECANT_REFS (U/V factors in VMEM scratch refs, dynamic-trip
     contraction) is the same arithmetic as the carried-tuple form — the
@@ -407,7 +407,13 @@ def test_secant_refs_identical_to_carried(monkeypatch, ladder):
     kw = dict(threshold=30, eps=1e-6, stall_patience=5, stall_rtol=0.05,
               stall_guard=3.0, newton_init=True, interpret=True, reps=1,
               mode="bf16")
-    if ladder:
+    if ladder == "default":
+        # the SHIPPED default combination: multi-stage tail x secant refs —
+        # the nested make_run_tail(j+1) path re-reads/writes the VMEM U/V
+        # refs across TWO re-arms (review r5); reps=2 exercises the
+        # lane-packed variant of that composition too.
+        kw.update(tail_mode=("tf32x", "f32"), tail_start=8, reps=2)
+    elif ladder:
         kw.update(tail_mode="f32", tail_start=10)
     a = fused_broyden_solve(x, data_x, data_z, secant_refs=False, **kw)
     b = fused_broyden_solve(x, data_x, data_z, secant_refs=True, **kw)
