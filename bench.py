@@ -166,11 +166,16 @@ def main():
 # npz (non-executable) per the r4 advisor: np.load(allow_pickle=False)
 SUSTAINED_CKPT_FIXED = "experiments/cifar10_long_r4/bench_ckpt.npz"
 # End-of-run checkpoints (hardest regime reached), reported as
-# sustained_final_* when present in the tree.
+# sustained_final_* when present in the tree: the newest LOCAL end-of-run
+# .pkl wins when a run has just produced one; the last entry is a COMMITTED
+# compact npz so the section survives a fresh clone (the full .pkl
+# checkpoints are gitignored and vanish between rounds, which silently
+# dropped sustained_final in r5 until the flagship re-run regenerated it).
 SUSTAINED_CKPTS_FINAL = [
+    "experiments/cifar10_long_r5b/most_recent.pkl",
     "experiments/cifar10_long_r5/most_recent.pkl",
     "experiments/cifar10_long_r4/most_recent.pkl",
-    "experiments/cifar10_long_r3/most_recent.pkl",
+    "experiments/cifar10_long_r5b/final_ckpt.npz",
 ]
 
 

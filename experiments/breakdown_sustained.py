@@ -33,6 +33,17 @@ VARIANTS = {
     "notail": {"_env": {"IMNF_SOLVER_TAIL": ""}},
     "est2": {"n_exact_terms": 2},
     "pi2": {"n_lip_iters": 2},
+    # bf16 head stage: run the first few iterations at single-pass bf16
+    # (~1/3 the dot cost of the 3-pass tf32 emulation), then re-arm every
+    # lane through the regular ladder. The carried secant factors survive
+    # the re-arm, so the cheap head may precondition the tf32 stage — or
+    # poison it with bf16-noise secant updates; this measures which.
+    "bf16head5": {"_env": {"IMNF_SOLVER_PRECISION": "bfloat16",
+                           "IMNF_SOLVER_TAIL": "tf32,tf32x,f32",
+                           "IMNF_LADDER_START": "5"}},
+    "bf16head8": {"_env": {"IMNF_SOLVER_PRECISION": "bfloat16",
+                           "IMNF_SOLVER_TAIL": "tf32,tf32x,f32",
+                           "IMNF_LADDER_START": "8"}},
 }
 
 CKPT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

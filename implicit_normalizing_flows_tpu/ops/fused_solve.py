@@ -868,7 +868,12 @@ def _make_apply_jt(shifted, mode, m3, m2, m1, s0, s1, s2, c8, HW):
     """Functional u -> J_g^T u from resident operands (the transpose-direction
     twin of ``_make_eval``; same math as ``fused_chain._make_apply_jt`` but
     carry-friendly: no scratch refs). ``mode`` is a precision-mode string
-    (weight prep hoisted, see ``_make_wdot``)."""
+    (weight prep hoisted, see ``_make_wdot``).
+
+    d3 contracts over the same small 9*c8 axis as the forward conv1, but
+    kpack is deliberately NOT applied here: every production caller passes
+    mode 'bf16' or 'f32' (chain_mode / IMNF_BWD_PRECISION), both
+    single-pass — there are no emulation passes to pack."""
     d3, d2, d1 = (_make_wdot(mode, m) for m in (m3, m2, m1))
 
     def apply_JT(u):

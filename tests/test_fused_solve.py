@@ -129,6 +129,32 @@ def test_fused_backward_solve_matches_xla(monkeypatch):
                                    rtol=5e-4, atol=1e-5)
 
 
+def test_backward_secant_refs_identical_to_carried():
+    """The backward implicit-gradient solve honors IMNF_SECANT_REFS since r5
+    (review finding: the kwarg existed but production never passed it). The
+    refs form must be bit-identical to the carried-tuple form at reps=1 (the
+    configuration where the VMEM refs actually engage; the packed variant
+    keeps the carried form)."""
+    from implicit_normalizing_flows_tpu.ops.fused_solve import (
+        fused_backward_solve,
+    )
+
+    block = _make_block()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8)) * 0.5
+    variables = block.init(jax.random.PRNGKey(1), x)
+    vz = {"params": variables["params"]["nnet_z"],
+          "state": variables["state"]["nnet_z"]}
+    cd = block.nnet_z.conv_chain_data(vz, x)
+    grad = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+
+    kw = dict(threshold=8, eps=1e-10, stall_patience=5, stall_rtol=0.05,
+              stall_guard=3.0, newton_init=True, mode="f32",
+              interpret=True, reps=1)
+    a = fused_backward_solve(grad, cd, secant_refs=False, **kw)
+    b = fused_backward_solve(grad, cd, secant_refs=True, **kw)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
 @pytest.mark.parametrize("preact", [True, False])
 def test_fused_reattach_vjp_matches_xla(monkeypatch, preact):
     """The Pallas re-attachment VJP (interpret, f32) vs jax.vjp through the
