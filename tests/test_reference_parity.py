@@ -933,3 +933,114 @@ def test_training_trajectory_parity_long():
     assert end_ref < lr_[:k].mean() - 0.1
     print(f"end-of-run NLL ours {end_ours:.4f} vs ref {end_ref:.4f} "
           f"(batch noise {noise:.4f})")
+
+
+def test_pth_checkpoint_converter(tmp_path):
+    """convert_reference_checkpoint.py end-to-end: a reference-format .pth
+    (state_dict + args, reference train_img.py:845-856) of a 2-scale
+    factor-out model with PERTURBED weights converts into our pytrees, and
+    both frameworks' forwards then agree on the same input. The
+    perturbation + power-iteration refresh guarantees the torch weights
+    differ from our init, so a converter that failed to copy would fail the
+    parity assert (and its leftover-key guard)."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    rl, rb = _load_reference()
+    from lib.implicit_flow import ImplicitFlow as RefIF
+
+    from convert_reference_checkpoint import convert
+
+    kwargs = dict(
+        n_blocks=[1, 1], intermediate_dim=IDIM, factor_out=True,
+        quadratic=False, init_layer=rl.LogitTransform(0.05), actnorm=True,
+        fc_actnorm=False, batchnorm=False, dropout=0, fc=False,
+        coeff=COEFF_IMG, vnorms="2222", n_lipschitz_iters=None, sn_atol=1e-3,
+        sn_rtol=1e-3, n_power_series=8, n_dist="geometric", n_samples=1,
+        kernels="3-1-3", activation_fn="swish", fc_end=False, fc_idim=32,
+        n_exact_terms=2, preact=True, neumann_grad=False,
+        grad_in_forward=False, first_resblock=True, learn_p=False,
+        classification=False)
+    input_size = (2, C_IMG, H_IMG, H_IMG)
+
+    # materialize the reference's lazy power-iteration buffers with the
+    # proven ours->ref copy, then perturb so the .pth holds weights OUR init
+    # never saw, and refresh u/v/scale to keep the state self-consistent
+    from implicit_normalizing_flows_tpu.models import ImplicitFlow as OursIF
+
+    seed_model = OursIF(input_size, **{**kwargs, "init_layer": None})
+    variables = seed_model.init(jax.random.PRNGKey(SEED),
+                                jnp.zeros(input_size))
+    ref = RefIF(input_size, **kwargs)
+    hw = H_IMG
+    for i, stacked in enumerate(ref.transforms):
+        ours_sp = variables["params"]["transforms"][i]
+        ours_ss = variables["state"]["transforms"][i]
+        blocks = [m for m in stacked.chain if hasattr(m, "nnet_x")]
+        b_idx = [j for j, p in enumerate(ours_sp)
+                 if isinstance(p, dict) and "nnet_x" in p]
+        for tblock, j in zip(blocks, b_idx):
+            for name, tnet in (("nnet_x", tblock.nnet_x),
+                               ("nnet_z", tblock.nnet_z),
+                               ("nnet_x", tblock.nnet_x_copy),
+                               ("nnet_z", tblock.nnet_z_copy)):
+                _copy_conv_net(tnet, ours_sp[j][name]["layers"],
+                               ours_ss[j][name], hw)
+        hw //= 2
+    # one reference forward BEFORE saving: ActNorm params are lazily
+    # data-initialized on first forward (reference act_norm.py:25-37 —
+    # until then they are uninitialized torch.Tensor memory, which must
+    # not leak into the .pth)
+    rng0 = np.random.RandomState(7)
+    with torch.no_grad():
+        ref(torch.from_numpy(
+            rng0.rand(*input_size).astype(np.float32) * 0.9 + 0.05))
+    g = torch.Generator().manual_seed(5)
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if "_copy" in name:
+                continue
+            p.add_(0.05 * p.abs().mean() *
+                   torch.randn(p.shape, generator=g))
+        for m in ref.modules():
+            if hasattr(m, "compute_weight") and hasattr(m, "scale"):
+                m.compute_weight(True, n_iterations=50)
+
+    args = argparse.Namespace(
+        data="cifar10", imagesize=H_IMG, nblocks="1-1", idim=IDIM,
+        factor_out=True, actnorm=True, n_power_series=8, n_dist="geometric",
+        kernels="3-1-3", act="swish", fc_end=False, preact=True,
+        neumann_grad=False, mem_eff=False, first_resblock=True,
+        task="density", coeff=COEFF_IMG, sn_tol=1e-3, padding=0,
+        squeeze_first=False, quadratic=False, fc=False, batchnorm=False,
+        fc_actnorm=False, dropout=0.0, learn_p=False, n_samples=1,
+        n_exact_terms=2, n_lipschitz_iters=None, fc_idim=32, arch="implicit")
+    pth = str(tmp_path / "ref.pth")
+    torch.save({"state_dict": ref.state_dict(), "args": args, "epoch": 3},
+               pth)
+
+    out = str(tmp_path / "converted.pkl")
+    params, state, ours, _ = convert(pth, out, batchsize=2)
+
+    # the converted weights are the PERTURBED ones, not our init (compare a
+    # conv kernel — zero-init biases got zero perturbation by construction)
+    w_init = next(np.asarray(l) for l in jax.tree.leaves(variables["params"])
+                  if np.ndim(l) == 4)
+    w_conv = next(np.asarray(l) for l in jax.tree.leaves(params)
+                  if np.ndim(l) == 4)
+    assert not np.allclose(w_init, w_conv)
+
+    rng = np.random.RandomState(2)
+    x = (rng.rand(*input_size).astype(np.float32) * 0.9 + 0.05)
+    z_ours, _, _ = ours.forward({"params": params, "state": state},
+                                jnp.asarray(x))
+    ref.eval()
+    with torch.no_grad():
+        z_ref = ref(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(z_ours), z_ref.numpy(), atol=1e-4)
+
+    from implicit_normalizing_flows_tpu.training.checkpoints import load_checkpoint
+    ck = load_checkpoint(out)
+    assert ck["epoch"] == 3 and "params" in ck and "state" in ck
